@@ -1,0 +1,163 @@
+"""Chroma feature frontend, TPU-native.
+
+Reference semantics (chroma.py): a hand-rolled hop-loop STFT — Hann window,
+centered via an ``fft_len/2`` left zero-pad (chroma.py:49), final partial
+frame truncated (chroma.py:54) — then one-sided power spectrum, chroma
+filterbank projection and per-frame L2 normalization (chroma.py:67-75).
+
+TPU redesign: no per-hop Python loop.  Framing is a reshape (hop = fft_len/2
+→ two half-frame blocks per frame), the real DFT is a dense matmul against
+precomputed cos/sin factor matrices (MXU-friendly at 4096 points — one fused
+batched matmul over all frames instead of T sequential rffts), and the
+filterbank projection + normalization fuse into the same XLA program.  The
+whole wav→chroma pipeline is a single jitted function; the DFT/filterbank
+factors live on-device once and are passed as arguments (not baked into each
+compiled program).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from real_time_audio_sync_tpu.config import FFT_LEN, FS, HOP_SIZE
+from real_time_audio_sync_tpu.features.filterbank import chroma_filterbank
+from real_time_audio_sync_tpu.utils.wavio import load_wav
+
+# ---------------------------------------------------------------------------
+# Cached on-device constants (per fft length / sample rate / dtype)
+# ---------------------------------------------------------------------------
+
+_CONST_CACHE: dict = {}
+
+
+def hann_window(n: int) -> np.ndarray:
+    """Symmetric Hann window, ``np.hanning`` parity (chroma.py:39,60)."""
+    if n == 1:
+        return np.ones(1)
+    k = np.arange(n, dtype=np.float64)
+    return 0.5 - 0.5 * np.cos(2.0 * np.pi * k / (n - 1))
+
+
+def frontend_constants(n_fft: int = FFT_LEN, fs: int = FS, dtype=np.float32):
+    """(hann, dft_cos, dft_sin, filterbank_T) as device arrays.
+
+    The real DFT is expressed as two (n_fft, n_fft//2+1) matmul factors so the
+    transform runs on the MXU; ``rfft(x)[k] = x·cos_k − i·(x·sin_k)``.
+    Created eagerly (never inside a trace) and cached.
+    """
+    key = (n_fft, fs, np.dtype(dtype).name)
+    if key not in _CONST_CACHE:
+        n = np.arange(n_fft, dtype=np.float64)[:, None]
+        k = np.arange(n_fft // 2 + 1, dtype=np.float64)[None, :]
+        ang = 2.0 * np.pi * n * k / n_fft
+        _CONST_CACHE[key] = (
+            jax.device_put(hann_window(n_fft).astype(dtype)),
+            jax.device_put(np.cos(ang).astype(dtype)),
+            jax.device_put(np.sin(ang).astype(dtype)),
+            jax.device_put(np.ascontiguousarray(chroma_filterbank(fs, n_fft).T).astype(dtype)),
+        )
+    return _CONST_CACHE[key]
+
+
+def num_frames(n_samples: int, n_fft: int = FFT_LEN, hop: int = HOP_SIZE) -> int:
+    """Frame count of the reference STFT (chroma.py:49-54): the wav is
+    left-padded with ``n_fft/2`` zeros, then ``int(((N - L)/H) + 1)`` hops
+    (Python-2 floor division, preserved)."""
+    padded = n_samples + n_fft // 2
+    return max(0, (padded - n_fft) // hop + 1)
+
+
+# ---------------------------------------------------------------------------
+# Pure-JAX pipeline (jittable)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("normalize",))
+def _chroma_frames_impl(frames, win, dft_cos, dft_sin, fb_t, normalize: bool = True):
+    """(T, n_fft) raw frames → (12, T) chroma.  One fused XLA program:
+    window → two DFT matmuls → power → filterbank matmul → L2 normalize."""
+    wf = frames * win[None, :]
+    re = wf @ dft_cos
+    im = wf @ dft_sin
+    power = re * re + im * im  # (T, K)
+    raw = power @ fb_t  # (T, 12)
+    if normalize:
+        norm = jnp.sqrt(jnp.sum(raw * raw, axis=1, keepdims=True))
+        tiny = jnp.asarray(np.finfo(np.dtype(frames.dtype)).tiny, frames.dtype)
+        raw = raw / jnp.where(norm < tiny, jnp.ones_like(norm), norm)
+    return raw.T  # (12, T)
+
+
+def chroma_frames(frames: jnp.ndarray, n_fft: int = FFT_LEN, fs: int = FS, normalize: bool = True) -> jnp.ndarray:
+    """(T, n_fft) audio frames → (12, T) chroma.  Equivalent to the reference
+    per-frame ``hann → rfft → |·|² → chromafb → L2-normalize`` chain
+    (chroma.py:35-42, 67-75), batched over frames."""
+    win, dft_cos, dft_sin, fb_t = frontend_constants(n_fft, fs, frames.dtype)
+    return _chroma_frames_impl(frames, win, dft_cos, dft_sin, fb_t, normalize)
+
+
+@partial(jax.jit, static_argnames=("n_fft", "hop", "normalize"))
+def _chroma_pipeline_impl(wav, win, dft_cos, dft_sin, fb_t, n_fft: int, hop: int, normalize: bool = True):
+    t = num_frames(wav.shape[0], n_fft, hop)
+    if t <= 0:
+        return jnp.zeros((12, 0), wav.dtype)
+    x = jnp.concatenate([jnp.zeros(n_fft // 2, wav.dtype), wav])
+    if n_fft == 2 * hop:
+        # Framing as a reshape: each frame is two consecutive half-frame
+        # blocks — zero gathers beyond one concatenate.
+        blocks = x[: (t + 1) * hop].reshape(t + 1, hop)
+        frames = jnp.concatenate([blocks[:-1], blocks[1:]], axis=1)
+    else:
+        idx = jnp.arange(t)[:, None] * hop + jnp.arange(n_fft)[None, :]
+        frames = x[idx]
+    return _chroma_frames_impl(frames, win, dft_cos, dft_sin, fb_t, normalize)
+
+
+def chroma_pipeline(wav: jnp.ndarray, n_fft: int = FFT_LEN, hop: int = HOP_SIZE, fs: int = FS, normalize: bool = True) -> jnp.ndarray:
+    """Full wav → (12, T) chroma pipeline as one jitted XLA program."""
+    consts = frontend_constants(n_fft, fs, wav.dtype)
+    return _chroma_pipeline_impl(wav, *consts, n_fft, hop, normalize)
+
+
+# ---------------------------------------------------------------------------
+# Host API (reference surface: chroma.py:25,35,77)
+# ---------------------------------------------------------------------------
+
+
+def chroma_from_samples(wav: np.ndarray, dtype=np.float32, normalize: bool = True) -> np.ndarray:
+    """22.05 kHz mono samples → (12, T) chroma, as numpy."""
+    wav = jnp.asarray(np.asarray(wav), dtype)
+    return np.asarray(chroma_pipeline(wav, normalize=normalize))
+
+
+def wav_to_chroma(path_to_wav: str, dtype=np.float32) -> np.ndarray:
+    """Reference ``wav_to_chroma`` (chroma.py:25-33): load → STFT → chroma."""
+    wav, fs = load_wav(path_to_wav)
+    assert fs == 22050
+    return chroma_from_samples(wav, dtype)
+
+
+def wav_to_chroma_col(wav_buf: np.ndarray, dtype=np.float32) -> np.ndarray:
+    """Reference ``wav_to_chroma_col`` (chroma.py:35-42): one fft_len-sample
+    buffer → one 12-dim chroma column."""
+    buf = np.asarray(wav_buf)
+    assert buf.shape[-1] == FFT_LEN
+    frames = jnp.asarray(buf, dtype).reshape(1, FFT_LEN)
+    return np.asarray(chroma_frames(frames))[:, 0]
+
+
+def wav_to_chroma_diff(path_to_wav: str, dtype=np.float32) -> np.ndarray:
+    """Reference ``wav_to_chroma_diff`` (chroma.py:77-90): half-wave-rectified
+    temporal difference of the normalized chroma."""
+    chroma = wav_to_chroma(path_to_wav, dtype)
+    return np.clip(np.diff(chroma, axis=1), 0, np.inf)
+
+
+def chroma_diff_from_samples(wav: np.ndarray, dtype=np.float32) -> np.ndarray:
+    chroma = chroma_from_samples(wav, dtype)
+    return np.clip(np.diff(chroma, axis=1), 0, np.inf)

@@ -1,0 +1,253 @@
+"""Numpy test oracles: independent Python-3 implementations of the behaviors
+specified in SURVEY.md (frozen from the reference's documented semantics),
+used to verify the JAX/TPU implementations.  Written for clarity, not speed —
+these run the naive recurrences the TPU code must reproduce exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from real_time_audio_sync_tpu.features.filterbank import chroma_filterbank
+
+FFT_LEN = 4096
+HOP_SIZE = 2048
+FS = 22050
+
+
+# ---------------------------------------------------------------------------
+# Feature frontend oracle (semantics of reference chroma.py:44-75)
+# ---------------------------------------------------------------------------
+
+
+def oracle_stft(wav: np.ndarray, fft_len: int = FFT_LEN, hop: int = HOP_SIZE) -> np.ndarray:
+    x = np.concatenate((np.zeros(fft_len // 2), np.asarray(wav, np.float64)))
+    n = len(x)
+    num_hops = (n - fft_len) // hop + 1  # py2 floor division semantics
+    if num_hops <= 0:
+        return np.zeros((fft_len // 2 + 1, 0), dtype=complex)
+    win = np.hanning(fft_len)
+    out = np.empty((fft_len // 2 + 1, num_hops), dtype=complex)
+    for m in range(num_hops):
+        out[:, m] = np.fft.rfft(x[m * hop : m * hop + fft_len] * win)
+    return out
+
+
+def oracle_chroma_from_stft(stft: np.ndarray, normalize: bool = True) -> np.ndarray:
+    spec = np.abs(stft) ** 2
+    fb = chroma_filterbank(FS, FFT_LEN)
+    raw = fb @ spec
+    if not normalize:
+        return raw
+    norms = np.sqrt(np.sum(raw ** 2, axis=0))
+    norms = np.where(norms < np.finfo(np.float64).tiny, 1.0, norms)
+    return raw / norms[None, :]
+
+
+def oracle_chroma(wav: np.ndarray) -> np.ndarray:
+    return oracle_chroma_from_stft(oracle_stft(wav))
+
+
+# ---------------------------------------------------------------------------
+# Offline DTW oracle (semantics of reference dtw.py:5-53)
+# ---------------------------------------------------------------------------
+
+
+def oracle_dtw(seq_a: np.ndarray, seq_b: np.ndarray):
+    m, n = seq_a.shape[1], seq_b.shape[1]
+    cost = 1.0 - seq_a.T @ seq_b
+    acc = np.zeros((m, n))
+    back = np.empty((m, n), dtype=np.int64)
+    acc[0, 0] = cost[0, 0]
+    back[0, 0] = 2
+    acc[1:, 0] = np.cumsum(cost[1:, 0]) + cost[0, 0]
+    back[1:, 0] = 1
+    acc[0, 1:] = np.cumsum(cost[0, 1:]) + cost[0, 0]
+    back[0, 1:] = 0
+    for i in range(1, m):
+        for j in range(1, n):
+            options = (
+                acc[i, j - 1] + cost[i, j],
+                acc[i - 1, j] + cost[i, j],
+                acc[i - 1, j - 1] + 2 * cost[i, j],
+            )
+            k = int(np.argmin(options))
+            acc[i, j] = options[k]
+            back[i, j] = k
+    steps = ((0, -1), (-1, 0), (-1, -1))
+    i, j = m - 1, n - 1
+    path = [(i, j)]
+    while i > 0 or j > 0:
+        di, dj = steps[back[i, j]]
+        i, j = i + di, j + dj
+        path.append((i, j))
+    path.reverse()
+    return cost, acc, np.array(path)
+
+
+# ---------------------------------------------------------------------------
+# Online time warping oracle (semantics of reference otw_eran.py /
+# livenote.py / livenote_v2.py — parametrized over their documented diffs)
+# ---------------------------------------------------------------------------
+
+
+class OracleOTW:
+    """Banded online DTW, Dixon-2005 style.
+
+    ``variant``:
+      - "otw"       — otw_eran.py semantics (run_count starts at 1, startup
+                      condition ``t < c``, sentinel 1e10, path appended every
+                      set_direction call)
+      - "livenote"  — livenote.py semantics (run_count starts at 0, startup
+                      ``live_ptr < band``, sentinel inf)
+      - "livenote_v2" — livenote_v2.py: LiveNote plus monotone-path guard and
+                      optional Euclidean cost (``euclidean=True``)
+    """
+
+    def __init__(self, ref, c, max_run_count, variant="otw", euclidean=False):
+        self.variant = variant
+        self.euclidean = euclidean
+        self.c = c
+        self.max_run_count = max_run_count
+        self.ref = np.asarray(ref, np.float64)
+        f, n = self.ref.shape
+        m = 2 * n
+        self.live = np.zeros((f, m))
+        sentinel = 1e10 if variant == "otw" else np.inf
+        self.acc = np.full((m, n), sentinel)
+        self.cost = np.full((m, n), -1.0)
+        self.t = 0
+        self.j = 0
+        self.previous = None
+        self.run_count = 1 if variant == "otw" else 0
+        self.direction = "both"
+        self.path = []
+        self.first = True
+        self.stopped = False
+
+    # -- DP cell -----------------------------------------------------------
+    def _eval(self, x, y):
+        if self.euclidean:
+            c = np.sqrt(np.sum((self.live[:, x] - self.ref[:, y]) ** 2))
+        else:
+            c = 1.0 - self.live[:, x] @ self.ref[:, y]
+        self.cost[x, y] = c
+        if x == 0 and y == 0:
+            self.acc[x, y] = c
+            return
+        steps = []
+        if self.variant == "otw":
+            if y > 0:
+                steps.append(self.acc[x, y - 1] + c)
+            if x > 0:
+                steps.append(self.acc[x - 1, y] + c)
+        else:  # livenote evaluates x-steps first; min() is order-invariant
+            if x > 0:
+                steps.append(self.acc[x - 1, y] + c)
+            if y > 0:
+                steps.append(self.acc[x, y - 1] + c)
+        if x > 0 and y > 0:
+            steps.append(self.acc[x - 1, y - 1] + 2 * c)
+        if steps:
+            self.acc[x, y] = min(steps)
+
+    # -- band argmins ------------------------------------------------------
+    def _best_point(self):
+        j1 = max(0, self.j - self.c + 1)
+        best_j = j1 + int(np.argmin(self.acc[self.t, j1 : self.j + 1]))
+        cost_j = self.acc[self.t, best_j]
+        t1 = max(0, self.t - self.c + 1)
+        best_t = t1 + int(np.argmin(self.acc[t1 : self.t + 1, self.j]))
+        cost_t = self.acc[best_t, self.j]
+        if cost_j < cost_t:
+            return (self.t, best_j)
+        return (best_t, self.j)
+
+    def _get_direction(self):
+        x, y = self._best_point()
+        if self.variant == "livenote_v2":
+            if not self.path or (x > self.path[-1][0] and y >= self.path[-1][1]):
+                self.path.append((x, y))
+        else:
+            self.path.append((x, y))
+        if self.t < self.c:
+            return "both"
+        if self.run_count >= self.max_run_count:
+            return "column" if self.previous == "row" else "row"
+        if x < self.t:
+            return "column"
+        if y < self.j:
+            return "row"
+        return "both"
+
+    def _update_run_count(self, direction):
+        if direction == self.previous:
+            self.run_count += 1
+        else:
+            self.run_count = 1
+        if direction != "both":
+            self.previous = direction
+
+    # -- streaming insert (otw_eran.py:38-85 / livenote.py:37-98) ----------
+    def insert(self, col):
+        if self.stopped:
+            return "stop"
+        if self.first:
+            self.first = False
+            self.live[:, self.t] = col
+            self._eval(self.t, self.j)
+            return None
+        self.t += 1
+        if self.t >= self.live.shape[1]:
+            return None  # "ran out of room" — reference prints and returns
+        self.live[:, self.t] = col
+        for k in range(max(0, self.j - self.c + 1), self.j + 1):
+            self._eval(self.t, k)
+        while True:
+            if self.direction != "row":
+                self.j += 1
+                if self.j >= self.ref.shape[1]:
+                    self.stopped = True
+                    return "stop"
+                for k in range(max(0, self.t - self.c + 1), self.t + 1):
+                    self._eval(k, self.j)
+            direction = self._get_direction()
+            self._update_run_count(direction)
+            self.direction = direction
+            if direction != "column":
+                break
+        return None
+
+    # -- batch mode (otw_eran.py:91-142 / livenote.py:102-149) -------------
+    def set_live(self, live):
+        live = np.asarray(live, np.float64)
+        if self.variant == "otw":
+            # otw_eran.set_live resets state (otw_eran.py:92-97)
+            self.t = 0
+            self.j = 0
+            self.previous = None
+            self.direction = "both"
+            self.run_count = 1
+            self.path = []
+        self.live[:, self.t] = live[:, self.t]
+        self._eval(self.t, self.j)
+        while True:
+            direction = self._get_direction()
+            if self.variant == "otw":
+                # otw_eran processes row first when not 'column'
+                pass
+            if direction != "column":
+                self.t += 1
+                if self.t >= live.shape[1] or self.t >= self.live.shape[1]:
+                    break
+                self.live[:, self.t] = live[:, self.t]
+                for k in range(max(0, self.j - self.c + 1), self.j + 1):
+                    self._eval(self.t, k)
+            if direction != "row":
+                self.j += 1
+                if self.j >= self.ref.shape[1]:
+                    break
+                for k in range(max(0, self.t - self.c + 1), self.t + 1):
+                    self._eval(k, self.j)
+            self._update_run_count(direction)
+        return np.array(self.path)

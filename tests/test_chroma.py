@@ -1,0 +1,74 @@
+import numpy as np
+import pytest
+
+from real_time_audio_sync_tpu.features import chroma as jchroma
+from real_time_audio_sync_tpu.utils.wavio import load_wav
+
+from tests.oracle import oracle_chroma, oracle_stft
+
+
+@pytest.fixture(scope="module")
+def random_wav():
+    rng = np.random.default_rng(0)
+    return rng.standard_normal(22050 * 3).astype(np.float64) * 0.1
+
+
+def test_num_frames_matches_reference_semantics():
+    # int(((N - L)/H) + 1) with N = len + L/2 (chroma.py:49-54)
+    for n in [0, 1000, 2048, 4096, 4097, 100000, 771750]:
+        padded = n + 2048
+        expect = max(0, (padded - 4096) // 2048 + 1)
+        assert jchroma.num_frames(n) == expect
+
+
+def test_chroma_matches_oracle_f64(random_wav):
+    ours = jchroma.chroma_from_samples(random_wav, dtype=np.float64)
+    ref = oracle_chroma(random_wav)
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, rtol=1e-8, atol=1e-10)
+
+
+def test_chroma_f32_close_to_f64(random_wav):
+    f32 = jchroma.chroma_from_samples(random_wav, dtype=np.float32)
+    f64 = oracle_chroma(random_wav)
+    # normalized chroma: f32 matmul-DFT error stays small
+    np.testing.assert_allclose(f32, f64, atol=5e-4)
+
+
+def test_silence_gives_zero_columns_not_nan():
+    out = jchroma.chroma_from_samples(np.zeros(22050), dtype=np.float64)
+    assert out.shape[1] == jchroma.num_frames(22050)
+    assert np.all(out == 0.0)
+
+
+def test_col_matches_single_frame(random_wav):
+    buf = random_wav[:4096]
+    col = jchroma.wav_to_chroma_col(buf, dtype=np.float64)
+    spec = np.abs(np.fft.rfft(buf * np.hanning(4096))) ** 2
+    from real_time_audio_sync_tpu.features.filterbank import chroma_filterbank
+
+    raw = chroma_filterbank(22050, 4096) @ spec
+    ref = raw / np.linalg.norm(raw)
+    np.testing.assert_allclose(col, ref, rtol=1e-8, atol=1e-10)
+
+
+def test_diff_is_rectified(random_wav):
+    chroma = jchroma.chroma_from_samples(random_wav, dtype=np.float64)
+    diff = np.clip(np.diff(chroma, axis=1), 0, np.inf)
+    got = jchroma.chroma_diff_from_samples(random_wav, dtype=np.float64)
+    np.testing.assert_allclose(got, diff, rtol=1e-8, atol=1e-12)
+    assert np.all(got >= 0)
+
+
+def test_real_audio_chroma(chopin_pair):
+    ref_path, _ = chopin_pair
+    wav, fs = load_wav(ref_path)
+    assert fs == 22050
+    out = jchroma.chroma_from_samples(wav, dtype=np.float64)
+    assert out.shape[0] == 12
+    assert out.shape[1] == jchroma.num_frames(len(wav))
+    ref = oracle_chroma(wav)
+    np.testing.assert_allclose(out, ref, rtol=1e-7, atol=1e-9)
+    # columns are unit-normalized (or zero)
+    norms = np.linalg.norm(out, axis=0)
+    assert np.all((np.abs(norms - 1) < 1e-9) | (norms == 0))
