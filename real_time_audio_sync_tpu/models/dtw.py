@@ -1,0 +1,52 @@
+"""Offline full-sequence DTW (reference dtw.py:5-53).
+
+API parity: ``DTW(seq_a, seq_b) -> (cost, acc_cost, path)`` on (F, M)/(F, N)
+feature matrices, cosine cost ``1 − AᵀB``, 3-step recurrence with the
+diagonal weighted 2×, first-min tie-breaking (left, up, diag), backtracking
+from (M−1, N−1).
+
+TPU redesign: the cost matrix is one MXU matmul; the O(M·N) Python DP loop
+becomes a `lax.scan` wavefront over anti-diagonals and the backtrack a second
+scan (see ops/wavefront.py) — the whole call is two jitted programs instead
+of ~M·N interpreter iterations.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from real_time_audio_sync_tpu.ops.wavefront import DTW_SPEC, backtrack, wavefront_dp
+
+
+@jax.jit
+def _cosine_cost(seq_a, seq_b):
+    return 1.0 - seq_a.T @ seq_b
+
+
+def dtw_device(seq_a, seq_b):
+    """Device-resident DTW: returns (cost, acc, path_points, path_len) as
+    jax arrays; ``path_points`` is reversed (end → origin) and padded."""
+    cost = _cosine_cost(seq_a, seq_b)
+    acc, back = wavefront_dp(cost, DTW_SPEC)
+    points, length = backtrack(back, DTW_SPEC)
+    return cost, acc, points, length
+
+
+def DTW(seq_a, seq_b, dtype=None):
+    """Reference-parity offline DTW.
+
+    Accepts (F, M) and (F, N) numpy/jax arrays, returns numpy
+    ``(cost, acc_cost, path)`` with ``path`` ordered origin → end exactly as
+    dtw.py:42-52 builds it.
+    """
+    seq_a = np.asarray(seq_a)
+    seq_b = np.asarray(seq_b)
+    if dtype is not None:
+        seq_a = seq_a.astype(dtype)
+        seq_b = seq_b.astype(dtype)
+    cost, acc, points, length = dtw_device(jnp.asarray(seq_a), jnp.asarray(seq_b))
+    n_valid = int(length)
+    path = np.asarray(points)[:n_valid][::-1]
+    return np.asarray(cost), np.asarray(acc), path

@@ -1,0 +1,157 @@
+"""Banded DP primitives for online time warping.
+
+The reference's OTW/LiveNote engines evaluate DP cells one at a time in
+Python: a width-``c`` row band per live frame (otw_eran.py:58-62), a
+width-``c`` column band per reference advance (otw_eran.py:73-77), and band
+argmins for the best point (otw_eran.py:192-211).
+
+TPU reformulation (SURVEY.md §7 "align/otw.py"): each band update becomes a
+fixed-shape vectorized computation against the full accumulated-cost matrix —
+one matvec for the cell costs, one vectorized min for the up/diagonal
+candidates, and a length-``c`` sequential min-plus chain for the within-band
+left/up dependency (the only true serial dependency; ``c`` is small and
+static).  The chain is evaluated in the reference's cell order so accumulated
+costs are arithmetically identical, preserving argmin tie-breaking.
+
+All functions are pure and shape-static; they are assembled into jitted
+insert/set_live steps by ``models.online_core``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _cost_vector(query: jnp.ndarray, bank: jnp.ndarray, euclidean: bool) -> jnp.ndarray:
+    """Cost of one feature column against every column of ``bank``.
+
+    cosine (otw_eran.py:220, livenote.py:161): ``1 − q·bank``
+    euclidean (livenote_v2.py:167-168): ``sqrt(Σ (q − bank)²)``
+    """
+    if euclidean:
+        d = bank - query[:, None]
+        return jnp.sqrt(jnp.sum(d * d, axis=0))
+    return 1.0 - query @ bank
+
+
+def _shift_fill_inf(v: jnp.ndarray) -> jnp.ndarray:
+    """v[k] ← v[k-1], +inf into slot 0 (masks the k=0 diagonal/up step)."""
+    return jnp.concatenate([jnp.full((1,), jnp.inf, v.dtype), v[:-1]])
+
+
+def _minplus_chain(b_win: jnp.ndarray, c_win: jnp.ndarray, r_init: jnp.ndarray) -> jnp.ndarray:
+    """Sequential band recurrence ``r_k = min(b_k, r_{k-1} + c_k)``.
+
+    Evaluated left-to-right exactly like the reference's in-order band loop
+    so floating-point results are bit-identical; ``len(b_win)`` is the static
+    band width, so this is a tiny fixed-length scan.
+    """
+
+    def step(r, bc):
+        b, cc = bc
+        r2 = jnp.minimum(b, r + cc)
+        return r2, r2
+
+    _, rs = lax.scan(step, r_init, (b_win, c_win))
+    return rs
+
+
+def row_update(acc, live, ref, t, j, *, c: int, sentinel: float, euclidean: bool):
+    """Evaluate row band ``(t, [max(0, j−c+1) .. j])`` (otw_eran.py:58-62).
+
+    Row ``t`` is fresh (never written before), so the left neighbour of the
+    band's first cell is the uncomputed-cell sentinel, exactly as the
+    reference reads it.
+    """
+    dtype = acc.dtype
+    f = ref.shape[0]
+    n = ref.shape[1]
+    live_t = lax.dynamic_slice(live, (0, t), (f, 1))[:, 0]
+    cost_row = _cost_vector(live_t, ref, euclidean)  # (N,)
+
+    prev_row = lax.dynamic_slice(acc, (t - 1, 0), (1, n))[0]
+    diag = _shift_fill_inf(prev_row)
+    # up/diag candidates (left is the sequential chain below); min order is
+    # value-exact vs the reference's min-of-list
+    b = jnp.minimum(prev_row + cost_row, diag + 2.0 * cost_row)
+
+    s = jnp.maximum(j - (c - 1), 0)
+    b_win = lax.dynamic_slice(b, (s,), (c,))
+    c_win = lax.dynamic_slice(cost_row, (s,), (c,))
+    # left neighbour of cell (t, s): sentinel when s>0 (uncomputed cell read
+    # by the reference), no left step at all when s==0
+    r_init = jnp.where(s > 0, jnp.asarray(sentinel, dtype), jnp.asarray(jnp.inf, dtype))
+    chain = _minplus_chain(b_win, c_win, r_init)
+
+    idx = s + jnp.arange(c)
+    old_win = lax.dynamic_slice(acc, (t, s), (1, c))[0]
+    new_win = jnp.where(idx <= j, chain, old_win)
+    return lax.dynamic_update_slice(acc, new_win[None, :], (t, s))
+
+
+def col_update(acc, live, ref, t, j, *, c: int, sentinel: float, euclidean: bool):
+    """Evaluate column band ``([max(0, t−c+1) .. t], j)`` (otw_eran.py:73-77).
+
+    Column ``j`` is fresh; cells of column ``j−1`` are read whether or not
+    they were ever evaluated — uncomputed ones hold the sentinel, as in the
+    reference's dense matrices.
+    """
+    dtype = acc.dtype
+    f, m = live.shape
+    ref_j = lax.dynamic_slice(ref, (0, j), (f, 1))[:, 0]
+    cost_col = _cost_vector(ref_j, live, euclidean)  # (M,)
+
+    prev_col = lax.dynamic_slice(acc, (0, j - 1), (m, 1))[:, 0]
+    diag = _shift_fill_inf(prev_col)
+    b = jnp.minimum(prev_col + cost_col, diag + 2.0 * cost_col)
+
+    s = jnp.maximum(t - (c - 1), 0)
+    b_win = lax.dynamic_slice(b, (s,), (c,))
+    c_win = lax.dynamic_slice(cost_col, (s,), (c,))
+    r_init = jnp.where(s > 0, jnp.asarray(sentinel, dtype), jnp.asarray(jnp.inf, dtype))
+    chain = _minplus_chain(b_win, c_win, r_init)
+
+    idx = s + jnp.arange(c)
+    old_win = lax.dynamic_slice(acc, (s, j), (c, 1))[:, 0]
+    new_win = jnp.where(idx <= t, chain, old_win)
+    return lax.dynamic_update_slice(acc, new_win[:, None], (s, j))
+
+
+def eval_origin(acc, live, ref, *, euclidean: bool):
+    """Initial condition: ``acc[0,0] = cost(0,0)`` (otw_eran.py:223-225)."""
+    f = ref.shape[0]
+    if euclidean:
+        d = live[:, 0] - ref[:, 0]
+        c00 = jnp.sqrt(jnp.sum(d * d))
+    else:
+        c00 = 1.0 - live[:, 0] @ ref[:, 0]
+    return acc.at[0, 0].set(c00)
+
+
+def band_argmin(acc, t, j, *, c: int):
+    """Best point over the row band ∪ column band (otw_eran.py:192-211).
+
+    Returns ``(x, y)``.  First-min tie-breaking within each band matches
+    ``np.argmin``; on a row/column tie the column result wins (the reference
+    tests ``cost_j < cost_t`` strictly).  Band windows are clamped to width
+    ``c`` at the matrix edge; the extra cells they cover hold the huge
+    uncomputed-cell sentinel and can never win the argmin.
+    """
+    sj = jnp.maximum(j - (c - 1), 0)
+    row_win = lax.dynamic_slice(acc, (t, sj), (1, c))[0]
+    kj = jnp.argmin(row_win)
+    best_j = sj + kj
+    cost_j = row_win[kj]
+
+    st = jnp.maximum(t - (c - 1), 0)
+    col_win = lax.dynamic_slice(acc, (st, j), (c, 1))[:, 0]
+    kt = jnp.argmin(col_win)
+    best_t = st + kt
+    cost_t = col_win[kt]
+
+    use_row = cost_j < cost_t
+    x = jnp.where(use_row, t, best_t)
+    y = jnp.where(use_row, best_j, j)
+    return x.astype(jnp.int32), y.astype(jnp.int32)

@@ -54,16 +54,21 @@ def oracle_chroma(wav: np.ndarray) -> np.ndarray:
 
 
 def oracle_dtw(seq_a: np.ndarray, seq_b: np.ndarray):
-    m, n = seq_a.shape[1], seq_b.shape[1]
-    cost = 1.0 - seq_a.T @ seq_b
+    return oracle_dtw_from_cost(1.0 - seq_a.T @ seq_b)
+
+
+def oracle_dtw_from_cost(cost: np.ndarray):
+    m, n = cost.shape
     acc = np.zeros((m, n))
     back = np.empty((m, n), dtype=np.int64)
     acc[0, 0] = cost[0, 0]
     back[0, 0] = 2
-    acc[1:, 0] = np.cumsum(cost[1:, 0]) + cost[0, 0]
-    back[1:, 0] = 1
-    acc[0, 1:] = np.cumsum(cost[0, 1:]) + cost[0, 0]
-    back[0, 1:] = 0
+    for i in range(1, m):
+        acc[i, 0] = cost[i, 0] + acc[i - 1, 0]
+        back[i, 0] = 1
+    for j in range(1, n):
+        acc[0, j] = cost[0, j] + acc[0, j - 1]
+        back[0, j] = 0
     for i in range(1, m):
         for j in range(1, n):
             options = (

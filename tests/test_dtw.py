@@ -1,0 +1,133 @@
+import numpy as np
+import pytest
+
+from real_time_audio_sync_tpu.models.dtw import DTW
+from real_time_audio_sync_tpu.ops.wavefront import WTW_SPEC, backtrack, wavefront_dp
+
+from tests.oracle import oracle_dtw
+
+
+def _random_chroma(rng, t):
+    x = rng.random((12, t))
+    return x / np.linalg.norm(x, axis=0, keepdims=True)
+
+
+@pytest.mark.parametrize("m,n", [(1, 1), (1, 7), (7, 1), (5, 5), (23, 31), (64, 48)])
+def test_dp_matches_oracle_bitexact_on_same_cost(m, n):
+    # Isolate the wavefront DP: identical cost matrix into both
+    # implementations ⇒ bit-identical acc matrix and path.
+    import jax.numpy as jnp
+
+    from real_time_audio_sync_tpu.ops.wavefront import DTW_SPEC
+    from tests.oracle import oracle_dtw_from_cost
+
+    rng = np.random.default_rng(m * 100 + n)
+    cost = rng.random((m, n))
+    acc, back = wavefront_dp(jnp.asarray(cost, jnp.float64), DTW_SPEC)
+    pts, ln = backtrack(back, DTW_SPEC)
+    path = np.asarray(pts)[: int(ln)][::-1]
+    _, racc, rpath = oracle_dtw_from_cost(cost)
+    np.testing.assert_array_equal(np.asarray(acc), racc)
+    np.testing.assert_array_equal(path, rpath)
+
+
+@pytest.mark.parametrize("m,n", [(5, 5), (23, 31), (64, 48)])
+def test_dtw_end_to_end_matches_oracle(m, n):
+    # Full DTW() including the XLA cost matmul: cost agrees to ~1 ulp
+    # (accumulation order), path agrees exactly on generic data.
+    rng = np.random.default_rng(m * 100 + n)
+    a = _random_chroma(rng, m)
+    b = _random_chroma(rng, n)
+    cost, acc, path = DTW(a, b, dtype=np.float64)
+    rcost, racc, rpath = oracle_dtw(a, b)
+    np.testing.assert_allclose(cost, rcost, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(acc, racc, rtol=0, atol=1e-10)
+    np.testing.assert_array_equal(path, rpath)
+
+
+def test_dtw_with_ties_matches_argmin_order():
+    # constant sequences create exact ties everywhere; tie-break must follow
+    # np.argmin's first-min (left, up, diag) order (dtw.py:35-38)
+    a = np.ones((12, 9)) / np.sqrt(12)
+    b = np.ones((12, 6)) / np.sqrt(12)
+    _, acc, path = DTW(a, b, dtype=np.float64)
+    _, racc, rpath = oracle_dtw(a, b)
+    np.testing.assert_array_equal(acc, racc)
+    np.testing.assert_array_equal(path, rpath)
+
+
+def test_dtw_path_endpoints_and_monotonicity():
+    rng = np.random.default_rng(7)
+    a = _random_chroma(rng, 40)
+    b = _random_chroma(rng, 50)
+    _, _, path = DTW(a, b, dtype=np.float64)
+    assert tuple(path[0]) == (0, 0)
+    assert tuple(path[-1]) == (39, 49)
+    steps = np.diff(path, axis=0)
+    assert np.all((steps >= 0) & (steps <= 1))
+    assert np.all(steps.sum(axis=1) >= 1)
+
+
+def test_wtw_spec_dp_matches_naive():
+    # WTW's window DP: unweighted diagonal, tie priority up(3), left(1), diag(2)
+    rng = np.random.default_rng(3)
+    c = rng.random((12, 15))
+
+    n, m = c.shape
+    d = np.empty((n, m))
+    b = np.empty((n, m))
+    d[0, 0] = c[0, 0]
+    b[0, 0] = 0
+    for i in range(1, n):
+        d[i, 0] = d[i - 1, 0] + c[i, 0]
+        b[i, 0] = 3
+    for j in range(1, m):
+        d[0, j] = d[0, j - 1] + c[0, j]
+        b[0, j] = 1
+    for i in range(1, n):
+        for j in range(1, m):
+            cands = [(d[i - 1, j], 3), (d[i, j - 1], 1), (d[i - 1, j - 1], 2)]
+            best, code = cands[0]
+            for v, cd in cands[1:]:
+                if v < best:
+                    best, code = v, cd
+            d[i, j] = best + c[i, j]
+            b[i, j] = code
+
+    import jax.numpy as jnp
+
+    acc, back = wavefront_dp(jnp.asarray(c, jnp.float64), WTW_SPEC)
+    np.testing.assert_array_equal(np.asarray(acc), d)
+    np.testing.assert_array_equal(np.asarray(back), b)
+
+    pts, ln = backtrack(back, WTW_SPEC)
+    path = np.asarray(pts)[: int(ln)][::-1]
+    # naive backtrack
+    cur = (n - 1, m - 1)
+    ref_path = [cur]
+    while cur != (0, 0):
+        code = b[cur]
+        if code == 1:
+            cur = (cur[0], cur[1] - 1)
+        elif code == 2:
+            cur = (cur[0] - 1, cur[1] - 1)
+        else:
+            cur = (cur[0] - 1, cur[1])
+        ref_path.append(cur)
+    ref_path.reverse()
+    np.testing.assert_array_equal(path, np.array(ref_path))
+
+
+def test_dtw_real_pair_scores(chopin_pair):
+    from real_time_audio_sync_tpu.eval import PathScorer
+    from real_time_audio_sync_tpu.features.chroma import wav_to_chroma
+
+    ref_wav, live_wav = chopin_pair
+    ref_seq = wav_to_chroma(ref_wav, dtype=np.float64)
+    live_seq = wav_to_chroma(live_wav, dtype=np.float64)
+    _, _, path = DTW(live_seq, ref_seq, dtype=np.float64)
+    result = PathScorer.for_pair(ref_wav, live_wav).score(path)
+    # offline DTW is the strongest aligner; the recorded field runs scored
+    # 0-4% off-by->1-beat (BASELINE.md) — offline should be comparable
+    assert result.pct_off_beats[1] < 10.0
+    assert result.pct_off_beats[3] < 1.0
