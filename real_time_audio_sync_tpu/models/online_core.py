@@ -1,0 +1,376 @@
+"""Shared core of the three online score followers.
+
+One fixed-shape, jitted step function drives all three reference engines —
+OnlineTimeWarping (otw_eran.py), LiveNote (livenote.py) and LiveNoteV2
+(livenote_v2.py) — which implement the same Dixon-2005 recurrence and differ
+only in documented details (SURVEY.md §7 hard part 2):
+
+============== ============ ============= =====================
+engine         sentinel     run_count₀    path append guard
+============== ============ ============= =====================
+OTW            1e10         1             none
+LiveNote       inf          0             none
+LiveNoteV2     inf          0             monotone (x↑, y≥)
+============== ============ ============= =====================
+
+LiveNoteV2 additionally supports Euclidean cost on chroma-diff features
+(livenote_v2.py:167-170).
+
+TPU redesign of the data-dependent control flow (otw_eran.py:64-85): per
+insert, exactly one row band is evaluated, then the row/column state machine
+runs for at most ``max_run_count + 3`` iterations (the slope constraint
+forces direction away from Column once run_count saturates), so the
+while-loop unrolls into a static, predicated sequence — no per-frame Python
+control flow, every shape static, the whole insert is one XLA program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from real_time_audio_sync_tpu.config import OTWParams
+from real_time_audio_sync_tpu.ops.band import _I0
+from real_time_audio_sync_tpu.ops.band import (
+    band_argmin,
+    col_update,
+    eval_origin,
+    row_update,
+)
+
+# direction / previous encodings
+ROW, COL, BOTH = 0, 1, 2
+PREV_NONE = -1
+
+
+@dataclasses.dataclass(frozen=True)
+class OnlineConfig:
+    """Static (compile-time) engine configuration."""
+
+    c: int
+    max_run_count: int
+    sentinel: float  # uncomputed-cell value: 1e10 (OTW) or inf (LiveNote*)
+    run_count_init: int  # 1 (OTW) or 0 (LiveNote*)
+    monotone_path: bool  # LiveNoteV2 guard (livenote_v2.py:197-199)
+    euclidean: bool  # LiveNoteV2 chroma-diff cost
+    exact_chain: bool = False  # bit-exact sequential band chain (parity mode)
+
+    @property
+    def loop_iters(self) -> int:
+        # Consecutive Column directions are bounded by max_run_count before
+        # the slope constraint forces a Row (otw_eran.py:168-170); +3 margin.
+        # State.overflow would flag any violation.
+        return self.max_run_count + 3
+
+
+class OnlineState(NamedTuple):
+    """Complete engine state as a pytree of fixed-shape arrays."""
+
+    live: jnp.ndarray  # (F, M) live feature buffer, M = 2N
+    acc: jnp.ndarray  # (M, N) accumulated cost
+    t: jnp.ndarray  # live pointer
+    j: jnp.ndarray  # ref pointer
+    direction: jnp.ndarray  # ROW/COL/BOTH
+    previous: jnp.ndarray  # PREV_NONE/ROW/COL
+    run_count: jnp.ndarray
+    path: jnp.ndarray  # (P, 2) int32, P = M + N + 8
+    path_len: jnp.ndarray
+    last_x: jnp.ndarray  # last appended path point (V2 monotone guard) — kept
+    last_y: jnp.ndarray  # as scalars to avoid reading back from the path array
+    first: jnp.ndarray  # bool: next insert is the first
+    stopped: jnp.ndarray  # bool: ref sequence exhausted ("stop")
+    overflow: jnp.ndarray  # bool: unrolled loop bound violated (never, by design)
+
+
+def init_state(ref: jnp.ndarray, cfg: OnlineConfig, dtype) -> OnlineState:
+    f, n = ref.shape
+    m = 2 * n
+    return OnlineState(
+        live=jnp.zeros((f, m), dtype),
+        acc=jnp.full((m, n), cfg.sentinel, dtype),
+        t=jnp.int32(0),
+        j=jnp.int32(0),
+        direction=jnp.int32(BOTH),
+        previous=jnp.int32(PREV_NONE),
+        run_count=jnp.int32(cfg.run_count_init),
+        path=jnp.zeros((m + n + 8, 2), jnp.int32),
+        path_len=jnp.int32(0),
+        last_x=jnp.int32(-1),
+        last_y=jnp.int32(-1),
+        first=jnp.bool_(True),
+        stopped=jnp.bool_(False),
+        overflow=jnp.bool_(False),
+    )
+
+
+def _append_point(path, path_len, last_x, last_y, x, y, monotone: bool):
+    """Append (x, y); under the V2 guard only when strictly forward in live
+    and non-backward in ref (livenote_v2.py:197-199).  The last appended
+    point is threaded as scalars so the guard never reads the path array."""
+    if monotone:
+        ok = (path_len == 0) | ((x > last_x) & (y >= last_y))
+    else:
+        ok = jnp.bool_(True)
+    new_path = lax.dynamic_update_slice(path, jnp.stack([x, y])[None, :], (path_len, _I0))
+    path = jnp.where(ok, new_path, path)
+    last_x = jnp.where(ok, x, last_x)
+    last_y = jnp.where(ok, y, last_y)
+    return path, path_len + ok.astype(jnp.int32), last_x, last_y
+
+
+def _set_direction(acc, t, j, run_count, previous, path, path_len, last_x, last_y, cfg: OnlineConfig):
+    """otw_eran.py:153-188 / livenote.py:184-207 as integer arithmetic.
+
+    Appends the best point, chooses the next direction, updates
+    run_count/previous.  Returns (direction, run_count, previous, path,
+    path_len, last_x, last_y).
+    """
+    x, y = band_argmin(acc, t, j, c=cfg.c)
+    path, path_len, last_x, last_y = _append_point(
+        path, path_len, last_x, last_y, x, y, cfg.monotone_path
+    )
+
+    startup = t < cfg.c
+    forced = run_count >= cfg.max_run_count
+    forced_dir = jnp.where(previous == ROW, COL, ROW)
+    free_dir = jnp.where(x < t, COL, jnp.where(y < j, ROW, BOTH))
+    d = jnp.where(startup, BOTH, jnp.where(forced, forced_dir, free_dir)).astype(jnp.int32)
+
+    run_count = jnp.where(d == previous, run_count + 1, 1).astype(jnp.int32)
+    previous = jnp.where(d != BOTH, d, previous).astype(jnp.int32)
+    return d, run_count, previous, path, path_len, last_x, last_y
+
+
+def _column_phase(state: OnlineState, ref, cfg: OnlineConfig) -> OnlineState:
+    """The reference's inner while-loop (otw_eran.py:64-85), unrolled to the
+    static bound with predication."""
+    n = ref.shape[1]
+
+    def iteration(st: OnlineState, active):
+        do_col = active & (st.direction != ROW)
+        j_new = jnp.where(do_col, st.j + 1, st.j)
+        new_stop = do_col & (j_new >= n)
+        do_eval = do_col & ~new_stop
+
+        acc = lax.cond(
+            do_eval,
+            lambda a: col_update(
+                a, st.live, ref, st.t, j_new, c=cfg.c, sentinel=cfg.sentinel, euclidean=cfg.euclidean, exact=cfg.exact_chain
+            ),
+            lambda a: a,
+            st.acc,
+        )
+        stopped = st.stopped | new_stop
+
+        do_dir = active & ~new_stop
+
+        def dir_branch(args):
+            rc, prev, path, plen, lx, ly = args
+            return _set_direction(acc, st.t, j_new, rc, prev, path, plen, lx, ly, cfg)
+
+        def no_dir(args):
+            rc, prev, path, plen, lx, ly = args
+            return st.direction, rc, prev, path, plen, lx, ly
+
+        d, rc, prev, path, plen, lx, ly = lax.cond(
+            do_dir, dir_branch, no_dir,
+            (st.run_count, st.previous, st.path, st.path_len, st.last_x, st.last_y),
+        )
+        st = st._replace(
+            acc=acc, j=j_new, direction=d, run_count=rc, previous=prev,
+            path=path, path_len=plen, last_x=lx, last_y=ly, stopped=stopped,
+        )
+        return st, do_dir & (d == COL)
+
+    active = ~state.stopped
+    for _ in range(cfg.loop_iters):
+        state, active = iteration(state, active)
+    return state._replace(overflow=state.overflow | active)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def insert_step(state: OnlineState, col, ref, cfg: OnlineConfig) -> OnlineState:
+    """One streaming insert (otw_eran.py:38-85 / livenote.py:37-98)."""
+    f, m = state.live.shape
+
+    def when_first(st: OnlineState) -> OnlineState:
+        live = lax.dynamic_update_slice(st.live, col[:, None], (_I0, _I0))
+        acc = eval_origin(st.acc, live, ref, euclidean=cfg.euclidean)
+        return st._replace(live=live, acc=acc, first=jnp.bool_(False))
+
+    def when_normal(st: OnlineState) -> OnlineState:
+        t = st.t + 1
+
+        def oob(s: OnlineState) -> OnlineState:
+            # "Ran out of room in pre-allocated live-sequence": the reference
+            # keeps incrementing t and does nothing else (otw_eran.py:50-54)
+            return s._replace(t=t)
+
+        def run(s: OnlineState) -> OnlineState:
+            live = lax.dynamic_update_slice(s.live, col[:, None], (_I0, t))
+            acc = row_update(
+                s.acc, live, ref, t, s.j, c=cfg.c, sentinel=cfg.sentinel, euclidean=cfg.euclidean, exact=cfg.exact_chain
+            )
+            s = s._replace(live=live, acc=acc, t=t)
+            return _column_phase(s, ref, cfg)
+
+        return lax.cond(t >= m, oob, run, st)
+
+    def when_active(st: OnlineState) -> OnlineState:
+        return lax.cond(st.first, when_first, when_normal, st)
+
+    # After "stop" the reference's caller must cease calling insert (another
+    # call would read out of bounds); we freeze instead — a deliberate,
+    # graceful deviation.
+    return lax.cond(state.stopped, lambda s: s, when_active, state)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def set_live_scan(state: OnlineState, live_full, ref, cfg: OnlineConfig) -> OnlineState:
+    """Batch alignment (otw_eran.py:91-142 / livenote.py:102-149) as one
+    ``lax.scan`` — the whole alignment runs on-device in a single dispatch.
+
+    Each scan step is one iteration of the reference's set_live loop:
+    direction decision first (appending a path point), then predicated row
+    and/or column band updates.  Loop count is bounded by T_live + N since
+    every live iteration advances t and/or j.
+    """
+    f, m = state.live.shape
+    n = ref.shape[1]
+    t_live = live_full.shape[1]
+
+    live0 = lax.dynamic_update_slice(state.live, live_full[:, 0:1], (_I0, _I0))
+    acc0 = eval_origin(state.acc, live0, ref, euclidean=cfg.euclidean)
+    state = state._replace(live=live0, acc=acc0, first=jnp.bool_(False))
+
+    def step(st: OnlineState, _):
+        def body(s: OnlineState) -> OnlineState:
+            d, rc, prev, path, plen, lx, ly = _set_direction(
+                s.acc, s.t, s.j, s.run_count, s.previous, s.path, s.path_len,
+                s.last_x, s.last_y, cfg
+            )
+            s = s._replace(
+                direction=d, run_count=rc, previous=prev, path=path,
+                path_len=plen, last_x=lx, last_y=ly,
+            )
+
+            # row step
+            do_row = d != COL
+            t_new = jnp.where(do_row, s.t + 1, s.t)
+            row_done = do_row & ((t_new >= t_live) | (t_new >= m))
+
+            def do_row_fn(s2: OnlineState) -> OnlineState:
+                live = lax.dynamic_update_slice(
+                    s2.live, lax.dynamic_slice(live_full, (_I0, t_new), (f, 1)), (_I0, t_new)
+                )
+                acc = row_update(
+                    s2.acc, live, ref, t_new, s2.j, c=cfg.c, sentinel=cfg.sentinel, euclidean=cfg.euclidean, exact=cfg.exact_chain
+                )
+                return s2._replace(live=live, acc=acc)
+
+            s = lax.cond(do_row & ~row_done, do_row_fn, lambda x: x, s)
+            s = s._replace(t=t_new, stopped=s.stopped | row_done)
+
+            # column step (skipped if the row step broke out)
+            do_col = (d != ROW) & ~s.stopped
+            j_new = jnp.where(do_col, s.j + 1, s.j)
+            col_done = do_col & (j_new >= n)
+
+            def do_col_fn(s2: OnlineState) -> OnlineState:
+                acc = col_update(
+                    s2.acc, s2.live, ref, s2.t, j_new, c=cfg.c, sentinel=cfg.sentinel, euclidean=cfg.euclidean, exact=cfg.exact_chain
+                )
+                return s2._replace(acc=acc)
+
+            s = lax.cond(do_col & ~col_done, do_col_fn, lambda x: x, s)
+            return s._replace(j=j_new, stopped=s.stopped | col_done)
+
+        return lax.cond(st.stopped, lambda s: s, body, st), None
+
+    state, _ = lax.scan(step, state, None, length=t_live + n)
+    return state
+
+
+# ---------------------------------------------------------------------------
+# Host-facing engine
+# ---------------------------------------------------------------------------
+
+
+class BandedOnlineEngine:
+    """Host wrapper: owns the device state, streams frames through the jitted
+    step, exposes the reference attribute surface (.path, .acc_cost, ...)."""
+
+    def __init__(self, ref, params, cfg_overrides: dict, dtype=None, exact_chain=False):
+        p = OTWParams.from_any(params)
+        dtype = np.dtype(dtype or np.float32)
+        self.dtype = dtype
+        self.params = p
+        self.cfg = OnlineConfig(
+            c=p.c,
+            max_run_count=p.max_run_count,
+            exact_chain=bool(exact_chain),
+            **cfg_overrides,
+        )
+        ref = np.asarray(ref)
+        if ref.shape[1] < self.cfg.c:
+            raise ValueError(
+                f"reference length {ref.shape[1]} shorter than search band {self.cfg.c}"
+            )
+        self.ref = jax.device_put(jnp.asarray(ref, dtype))
+        self.state = init_state(self.ref, self.cfg, dtype)
+        self._batch_mode = False
+
+    # -- reference API surface ---------------------------------------------
+
+    def insert(self, live_col):
+        """Insert one feature column; returns ``"stop"`` when the reference
+        sequence is exhausted (otw_eran.py:69-71), else None."""
+        # Pass host data straight into the jitted call: jit's argument
+        # transfer path is ~3 orders of magnitude faster than an explicit
+        # device_put on tunneled-TPU setups.
+        col = np.ascontiguousarray(live_col, self.dtype)
+        self.state = insert_step(self.state, col, self.ref, self.cfg)
+        if bool(self.state.stopped):
+            return "stop"
+        if bool(self.state.overflow):  # pragma: no cover - design invariant
+            raise AssertionError("column-phase loop bound violated")
+        return None
+
+    def set_live(self, live):
+        """Batch mode: align a full live sequence in one device dispatch."""
+        live = np.ascontiguousarray(live, self.dtype)
+        self.state = set_live_scan(self.state, live, self.ref, self.cfg)
+        self._batch_mode = True
+        return self.path
+
+    @property
+    def path(self):
+        """Committed best-point path as a list of (live, ref) int tuples."""
+        n = int(self.state.path_len)
+        pts = np.asarray(self.state.path[:n])
+        return [tuple(p) for p in pts]
+
+    @property
+    def path_array(self):
+        n = int(self.state.path_len)
+        return np.asarray(self.state.path[:n])
+
+    @property
+    def acc_cost(self):
+        """Dense accumulated-cost matrix (uncomputed cells = sentinel), for
+        notebook heatmaps and debugging."""
+        return np.asarray(self.state.acc)
+
+    @property
+    def live_ptr(self):
+        return int(self.state.t)
+
+    @property
+    def ref_ptr(self):
+        return int(self.state.j)

@@ -8,10 +8,11 @@ argmins for the best point (otw_eran.py:192-211).
 TPU reformulation (SURVEY.md §7 "align/otw.py"): each band update becomes a
 fixed-shape vectorized computation against the full accumulated-cost matrix —
 one matvec for the cell costs, one vectorized min for the up/diagonal
-candidates, and a length-``c`` sequential min-plus chain for the within-band
-left/up dependency (the only true serial dependency; ``c`` is small and
-static).  The chain is evaluated in the reference's cell order so accumulated
-costs are arithmetically identical, preserving argmin tie-breaking.
+candidates, and a length-``c`` min-plus chain for the within-band left/up
+dependency (the only true serial dependency; ``c`` is small and static),
+evaluated either as a log-depth associative scan (fast path) or in the
+reference's sequential cell order (bit-exact parity mode) — see
+``_minplus_chain``.
 
 All functions are pure and shape-static; they are assembled into jitted
 insert/set_live steps by ``models.online_core``.
@@ -22,6 +23,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+# Traced start indices in dynamic slices must share one integer type; these
+# pair with the engines' int32 pointers.
+_I0 = jnp.int32(0)
+_I1 = jnp.int32(1)
 
 
 def _cost_vector(query: jnp.ndarray, bank: jnp.ndarray, euclidean: bool) -> jnp.ndarray:
@@ -41,24 +47,45 @@ def _shift_fill_inf(v: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([jnp.full((1,), jnp.inf, v.dtype), v[:-1]])
 
 
-def _minplus_chain(b_win: jnp.ndarray, c_win: jnp.ndarray, r_init: jnp.ndarray) -> jnp.ndarray:
-    """Sequential band recurrence ``r_k = min(b_k, r_{k-1} + c_k)``.
+def _minplus_chain(b_win: jnp.ndarray, c_win: jnp.ndarray, r_init: jnp.ndarray, exact: bool) -> jnp.ndarray:
+    """Band recurrence ``r_k = min(b_k, r_{k-1} + c_k)`` with
+    ``r_{-1} = r_init``.
 
-    Evaluated left-to-right exactly like the reference's in-order band loop
-    so floating-point results are bit-identical; ``len(b_win)`` is the static
-    band width, so this is a tiny fixed-length scan.
+    ``exact=False`` (default runtime path): the recurrence is an associative
+    min-plus composition — element ``(c_k, b_k)`` composes as
+    ``(c₁,b₁)⊕(c₂,b₂) = (c₁+c₂, min(b₁+c₂, b₂))`` — so it runs as a
+    log-depth ``lax.associative_scan`` of pure vector ops.  On the target TPU
+    platform every scalar⇄vector boundary crossing (per-element scan input
+    slicing) costs ~0.5 ms, so the O(c) sequential form would dominate insert
+    latency; the tree form reassociates the cost sums, which can differ from
+    the reference by ~1 ulp (observed path-identical on real and random data).
+
+    ``exact=True``: the reference's left-to-right evaluation order,
+    bit-identical accumulated costs; used by the CPU parity tests.
     """
+    # fold the boundary value into element 0 (vector ops only — no extracts)
+    first = jnp.arange(b_win.shape[0]) == 0
+    b0 = jnp.where(first, jnp.minimum(b_win, r_init + c_win), b_win)
 
-    def step(r, bc):
-        b, cc = bc
-        r2 = jnp.minimum(b, r + cc)
-        return r2, r2
+    if exact:
+        def step(r, bc):
+            b, cc = bc
+            r2 = jnp.minimum(b, r + cc)
+            return r2, r2
 
-    _, rs = lax.scan(step, r_init, (b_win, c_win))
+        _, rs = lax.scan(step, r_init, (b_win, c_win))
+        return rs
+
+    def combine(e1, e2):
+        c1, r1 = e1
+        c2, r2 = e2
+        return c1 + c2, jnp.minimum(r1 + c2, r2)
+
+    _, rs = lax.associative_scan(combine, (c_win, b0))
     return rs
 
 
-def row_update(acc, live, ref, t, j, *, c: int, sentinel: float, euclidean: bool):
+def row_update(acc, live, ref, t, j, *, c: int, sentinel: float, euclidean: bool, exact: bool = False):
     """Evaluate row band ``(t, [max(0, j−c+1) .. j])`` (otw_eran.py:58-62).
 
     Row ``t`` is fresh (never written before), so the left neighbour of the
@@ -68,10 +95,10 @@ def row_update(acc, live, ref, t, j, *, c: int, sentinel: float, euclidean: bool
     dtype = acc.dtype
     f = ref.shape[0]
     n = ref.shape[1]
-    live_t = lax.dynamic_slice(live, (0, t), (f, 1))[:, 0]
+    live_t = lax.dynamic_slice(live, (_I0, t), (f, 1))[:, 0]
     cost_row = _cost_vector(live_t, ref, euclidean)  # (N,)
 
-    prev_row = lax.dynamic_slice(acc, (t - 1, 0), (1, n))[0]
+    prev_row = lax.dynamic_slice(acc, (t - _I1, _I0), (1, n))[0]
     diag = _shift_fill_inf(prev_row)
     # up/diag candidates (left is the sequential chain below); min order is
     # value-exact vs the reference's min-of-list
@@ -83,7 +110,7 @@ def row_update(acc, live, ref, t, j, *, c: int, sentinel: float, euclidean: bool
     # left neighbour of cell (t, s): sentinel when s>0 (uncomputed cell read
     # by the reference), no left step at all when s==0
     r_init = jnp.where(s > 0, jnp.asarray(sentinel, dtype), jnp.asarray(jnp.inf, dtype))
-    chain = _minplus_chain(b_win, c_win, r_init)
+    chain = _minplus_chain(b_win, c_win, r_init, exact)
 
     idx = s + jnp.arange(c)
     old_win = lax.dynamic_slice(acc, (t, s), (1, c))[0]
@@ -91,7 +118,7 @@ def row_update(acc, live, ref, t, j, *, c: int, sentinel: float, euclidean: bool
     return lax.dynamic_update_slice(acc, new_win[None, :], (t, s))
 
 
-def col_update(acc, live, ref, t, j, *, c: int, sentinel: float, euclidean: bool):
+def col_update(acc, live, ref, t, j, *, c: int, sentinel: float, euclidean: bool, exact: bool = False):
     """Evaluate column band ``([max(0, t−c+1) .. t], j)`` (otw_eran.py:73-77).
 
     Column ``j`` is fresh; cells of column ``j−1`` are read whether or not
@@ -100,10 +127,10 @@ def col_update(acc, live, ref, t, j, *, c: int, sentinel: float, euclidean: bool
     """
     dtype = acc.dtype
     f, m = live.shape
-    ref_j = lax.dynamic_slice(ref, (0, j), (f, 1))[:, 0]
+    ref_j = lax.dynamic_slice(ref, (_I0, j), (f, 1))[:, 0]
     cost_col = _cost_vector(ref_j, live, euclidean)  # (M,)
 
-    prev_col = lax.dynamic_slice(acc, (0, j - 1), (m, 1))[:, 0]
+    prev_col = lax.dynamic_slice(acc, (_I0, j - _I1), (m, 1))[:, 0]
     diag = _shift_fill_inf(prev_col)
     b = jnp.minimum(prev_col + cost_col, diag + 2.0 * cost_col)
 
@@ -111,7 +138,7 @@ def col_update(acc, live, ref, t, j, *, c: int, sentinel: float, euclidean: bool
     b_win = lax.dynamic_slice(b, (s,), (c,))
     c_win = lax.dynamic_slice(cost_col, (s,), (c,))
     r_init = jnp.where(s > 0, jnp.asarray(sentinel, dtype), jnp.asarray(jnp.inf, dtype))
-    chain = _minplus_chain(b_win, c_win, r_init)
+    chain = _minplus_chain(b_win, c_win, r_init, exact)
 
     idx = s + jnp.arange(c)
     old_win = lax.dynamic_slice(acc, (s, j), (c, 1))[:, 0]
@@ -141,15 +168,13 @@ def band_argmin(acc, t, j, *, c: int):
     """
     sj = jnp.maximum(j - (c - 1), 0)
     row_win = lax.dynamic_slice(acc, (t, sj), (1, c))[0]
-    kj = jnp.argmin(row_win)
-    best_j = sj + kj
-    cost_j = row_win[kj]
+    best_j = sj + jnp.argmin(row_win)
+    cost_j = jnp.min(row_win)  # == row_win[argmin]; avoids a scalar extract
 
     st = jnp.maximum(t - (c - 1), 0)
     col_win = lax.dynamic_slice(acc, (st, j), (c, 1))[:, 0]
-    kt = jnp.argmin(col_win)
-    best_t = st + kt
-    cost_t = col_win[kt]
+    best_t = st + jnp.argmin(col_win)
+    cost_t = jnp.min(col_win)
 
     use_row = cost_j < cost_t
     x = jnp.where(use_row, t, best_t)

@@ -1,0 +1,165 @@
+"""Parity tests: jitted online engines vs the naive oracle transcription.
+
+Synthetic "performances" are built as time-warped versions of a reference
+chroma sequence so the alignment problem is realistic (diagonal-ish paths
+with tempo fluctuations), plus pure-random sequences for adversarial cases.
+"""
+
+import numpy as np
+import pytest
+
+from real_time_audio_sync_tpu.models import LiveNote, LiveNoteV2, OnlineTimeWarping
+
+from tests.oracle import OracleOTW
+
+
+def _unit_cols(x):
+    return x / np.linalg.norm(x, axis=0, keepdims=True)
+
+
+def _make_pair(rng, n_ref=60, stretch=1.3):
+    """Reference sequence + a tempo-warped live rendition of it."""
+    ref = _unit_cols(rng.random((12, n_ref)) + 0.05)
+    # live = ref resampled at a wandering tempo
+    n_live = int(n_ref * stretch)
+    pos = np.cumsum(rng.uniform(0.5, 1.5, n_live))
+    pos = pos / pos[-1] * (n_ref - 1)
+    live = ref[:, np.round(pos).astype(int)]
+    # small feature noise so costs are generic (no exact ties)
+    live = _unit_cols(live + 0.01 * rng.random((12, n_live)))
+    return ref, live
+
+
+ENGINES = [
+    ("otw", OnlineTimeWarping, dict(params={"c": 10, "max_run_count": 3})),
+    ("livenote", LiveNote, dict(params={"search_band_width": 10, "max_run_count": 3})),
+    ("livenote_v2", LiveNoteV2, dict(params={"search_band_width": 10, "max_run_count": 3})),
+]
+
+
+def _oracle_for(name, ref, c=10, mrc=3, euclidean=False):
+    return OracleOTW(ref, c, mrc, variant=name, euclidean=euclidean)
+
+
+@pytest.mark.parametrize("name,cls,kw", ENGINES)
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("exact", [True, False])
+def test_insert_path_matches_oracle(name, cls, kw, seed, exact):
+    # exact=True: bit-identical band arithmetic; exact=False: the fast
+    # associative-scan chain (production path) — paths still match because
+    # generic data has no exact ties
+    rng = np.random.default_rng(seed)
+    ref, live = _make_pair(rng)
+    engine = cls(ref, dtype=np.float64, exact_chain=exact, **kw)
+    oracle = _oracle_for(name, ref)
+    for i in range(live.shape[1]):
+        got = engine.insert(live[:, i])
+        want = oracle.insert(live[:, i])
+        assert got == want, f"insert #{i}: {got} vs {want}"
+        if got == "stop":
+            break
+    assert [tuple(p) for p in engine.path] == [tuple(p) for p in oracle.path]
+    assert engine.live_ptr == oracle.t
+    assert engine.ref_ptr == oracle.j
+
+
+@pytest.mark.parametrize("name,cls,kw", ENGINES)
+def test_insert_acc_matrix_matches_oracle(name, cls, kw):
+    rng = np.random.default_rng(42)
+    ref, live = _make_pair(rng, n_ref=40)
+    engine = cls(ref, dtype=np.float64, exact_chain=True, **kw)
+    oracle = _oracle_for(name, ref)
+    for i in range(live.shape[1]):
+        if engine.insert(live[:, i]) == "stop":
+            oracle.insert(live[:, i])
+            break
+        oracle.insert(live[:, i])
+    ours = engine.acc_cost
+    theirs = oracle.acc
+    computed = theirs != (1e10 if name == "otw" else np.inf)
+    # computed cells agree to the ulp level (the cosine-cost matvec reduces
+    # in a different order than numpy's per-cell dot); uncomputed cells keep
+    # the exact sentinel
+    np.testing.assert_allclose(ours[computed], theirs[computed], rtol=1e-12, atol=1e-12)
+    assert np.array_equal(ours == (1e10 if name == "otw" else np.inf), ~computed)
+
+
+@pytest.mark.parametrize("name,cls,kw", ENGINES)
+@pytest.mark.parametrize("seed", [3, 4])
+def test_set_live_matches_oracle(name, cls, kw, seed):
+    rng = np.random.default_rng(seed)
+    ref, live = _make_pair(rng)
+    engine = cls(ref, dtype=np.float64, **kw)
+    engine.set_live(live)
+    oracle = _oracle_for(name, ref)
+    opath = oracle.set_live(live)
+    np.testing.assert_array_equal(engine.path_array, opath)
+
+
+def test_v2_path_is_monotone():
+    rng = np.random.default_rng(9)
+    ref, live = _make_pair(rng)
+    engine = LiveNoteV2(ref, {"search_band_width": 10, "max_run_count": 3}, dtype=np.float64)
+    for i in range(live.shape[1]):
+        if engine.insert(live[:, i]) == "stop":
+            break
+    p = engine.path_array
+    assert np.all(np.diff(p[:, 0]) > 0)
+    assert np.all(np.diff(p[:, 1]) >= 0)
+
+
+def test_v2_euclidean_cost_matches_oracle():
+    rng = np.random.default_rng(11)
+    ref, live = _make_pair(rng)
+    # rectified-diff-style features: nonnegative, not normalized
+    ref_d = np.clip(np.diff(ref, axis=1), 0, np.inf)
+    live_d = np.clip(np.diff(live, axis=1), 0, np.inf)
+    engine = LiveNoteV2(
+        ref_d, {"search_band_width": 10, "max_run_count": 3}, chroma_diff=True, dtype=np.float64
+    )
+    oracle = OracleOTW(ref_d, 10, 3, variant="livenote_v2", euclidean=True)
+    for i in range(live_d.shape[1]):
+        got = engine.insert(live_d[:, i])
+        want = oracle.insert(live_d[:, i])
+        assert got == want
+        if got == "stop":
+            break
+    assert [tuple(p) for p in engine.path] == [tuple(p) for p in oracle.path]
+
+
+def test_stop_is_sticky_and_graceful():
+    rng = np.random.default_rng(5)
+    ref, live = _make_pair(rng, n_ref=30, stretch=1.0)
+    # performance continues past the end of the score → ref side exhausts
+    extra = _unit_cols(rng.random((12, 25)) + 0.05)
+    live = np.concatenate([live, extra], axis=1)
+    engine = OnlineTimeWarping(ref, {"c": 10, "max_run_count": 3}, dtype=np.float64)
+    stopped_at = None
+    for i in range(live.shape[1]):
+        if engine.insert(live[:, i]) == "stop":
+            stopped_at = i
+            break
+    assert stopped_at is not None
+    path_at_stop = engine.path
+    # further inserts are no-ops returning "stop" (the reference would crash)
+    assert engine.insert(live[:, 0]) == "stop"
+    assert engine.path == path_at_stop
+
+
+def test_first_insert_only_evaluates_origin():
+    rng = np.random.default_rng(6)
+    ref, _ = _make_pair(rng, n_ref=30)
+    engine = LiveNote(ref, {"search_band_width": 10, "max_run_count": 3}, dtype=np.float64)
+    col = _unit_cols(rng.random((12, 1)))[:, 0]
+    assert engine.insert(col) is None
+    acc = engine.acc_cost
+    assert np.isfinite(acc[0, 0])
+    assert np.isinf(acc).sum() == acc.size - 1
+    assert engine.path == []
+
+
+def test_band_too_wide_raises():
+    rng = np.random.default_rng(6)
+    ref = _unit_cols(rng.random((12, 5)))
+    with pytest.raises(ValueError):
+        OnlineTimeWarping(ref, {"c": 10, "max_run_count": 3})

@@ -1,0 +1,65 @@
+"""Online engines on the real in-repo Chopin pair: oracle path parity plus
+beat-accuracy sanity vs the recorded field-test baselines (BASELINE.md)."""
+
+import numpy as np
+import pytest
+
+from real_time_audio_sync_tpu.eval import PathScorer
+from real_time_audio_sync_tpu.features.chroma import wav_to_chroma
+from real_time_audio_sync_tpu.models import LiveNote, OnlineTimeWarping
+
+from tests.oracle import OracleOTW
+
+
+@pytest.fixture(scope="module")
+def chopin_chroma(chopin_pair):
+    ref_wav, live_wav = chopin_pair
+    return (
+        wav_to_chroma(ref_wav, dtype=np.float64),
+        wav_to_chroma(live_wav, dtype=np.float64),
+        ref_wav,
+        live_wav,
+    )
+
+
+def test_otw_insert_real_audio_matches_oracle_and_scores(chopin_chroma):
+    ref_seq, live_seq, ref_wav, live_wav = chopin_chroma
+    params = {"c": 50, "max_run_count": 3}  # livenote_live.py:94
+    engine = OnlineTimeWarping(ref_seq, params, dtype=np.float64)
+    oracle = OracleOTW(ref_seq, 50, 3, variant="otw")
+    for i in range(live_seq.shape[1]):
+        got = engine.insert(live_seq[:, i])
+        want = oracle.insert(live_seq[:, i])
+        assert got == want
+        if got == "stop":
+            break
+    assert [tuple(p) for p in engine.path] == [tuple(p) for p in oracle.path]
+
+    result = PathScorer.for_pair(ref_wav, live_wav).score(engine.path)
+    # The recorded WTW field runs on this pair scored 0-4% >1 beat
+    # (BASELINE.md); streaming OTW should be in the same regime.
+    assert result.pct_off_beats[1] < 12.0
+    assert result.pct_off_beats[3] < 2.0
+    assert result.pct_off_3s < 2.0
+
+
+def test_livenote_insert_vs_set_live_scores_agree(chopin_chroma):
+    """The reference's own equivalence check (test_simple.py:101-131): batch
+    set_live and streaming insert score comparably on the same pair."""
+    ref_seq, live_seq, ref_wav, live_wav = chopin_chroma
+    params = {"search_band_width": 50, "max_run_count": 3}
+
+    streaming = LiveNote(ref_seq, params, dtype=np.float64)
+    for i in range(live_seq.shape[1]):
+        if streaming.insert(live_seq[:, i]) == "stop":
+            break
+
+    batch = LiveNote(ref_seq, params, dtype=np.float64)
+    batch.set_live(live_seq)
+
+    scorer = PathScorer.for_pair(ref_wav, live_wav)
+    s_stream = scorer.score(streaming.path)
+    s_batch = scorer.score(batch.path)
+    assert abs(s_stream.pct_off_beats[1] - s_batch.pct_off_beats[1]) < 10.0
+    assert s_stream.pct_off_beats[3] < 2.0
+    assert s_batch.pct_off_beats[3] < 2.0
