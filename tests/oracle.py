@@ -256,3 +256,116 @@ class OracleOTW:
                     self._eval(k, self.j)
             self._update_run_count(direction)
         return np.array(self.path)
+
+
+# ---------------------------------------------------------------------------
+# WTW oracle (semantics of reference wtw.py:19-240) — feature extraction is
+# injected so the windowed-DTW algorithm can be tested in isolation
+# ---------------------------------------------------------------------------
+
+
+class OracleWTW:
+    def __init__(self, chroma_ref, fft_len, hop_size, dtw_win_size, dtw_hop_size, col_fn):
+        self.chroma_ref = np.asarray(chroma_ref, np.float64)
+        self.fft_len = fft_len
+        self.hop_size = hop_size
+        self.w = dtw_win_size // hop_size
+        self.hop_frames = dtw_hop_size // hop_size
+        self.col_fn = col_fn  # 4096 samples -> 12-dim chroma column
+        self.N = self.chroma_ref.shape[1] * 2
+        self.M = self.chroma_ref.shape[1]
+        self.chroma_live = np.zeros((12, self.N))
+        self.acc = np.full((self.N, self.M), np.inf)
+        self.buf = []
+        self.path = []
+        self.chroma_ptr = 0
+        self.live_ptr = 0
+        self.ref_ptr = 0
+
+    def insert(self, live_audio_buf):
+        self.buf += list(live_audio_buf)
+        if self.ref_ptr >= self.M - 1 or self.live_ptr >= self.N - 1:
+            return "stop"
+        while len(self.buf) >= self.fft_len:
+            section = np.array(self.buf[: self.fft_len])
+            self.buf = self.buf[self.hop_size:]
+            self.chroma_live[:, self.chroma_ptr] = self.col_fn(section)
+            self.chroma_ptr += 1
+            if self.ref_ptr >= (self.M - 1 - self.w) or self.live_ptr >= (self.N - 1 - self.w):
+                return "stop"
+            while self.chroma_ptr - self.live_ptr >= self.w:
+                self._window()
+        return None
+
+    def _cost(self, x, y):
+        dots = x.T @ y
+        nx = np.linalg.norm(x, axis=0)
+        ny = np.linalg.norm(y, axis=0)
+        return 1.0 - dots / (nx[:, None] * ny[None, :])
+
+    def _run_dtw(self, C):
+        n, m = C.shape
+        D = np.empty((n, m))
+        B = np.empty((n, m))
+        D[0, 0] = C[0, 0]
+        B[0, 0] = 0
+        cost = C[0, 0]
+        for i in range(1, n):
+            cost += C[i, 0]
+            D[i, 0] = cost
+            B[i, 0] = 3
+        cost = C[0, 0]
+        for i in range(1, m):
+            cost += C[0, i]
+            D[0, i] = cost
+            B[0, i] = 1
+        for i in range(1, n):
+            for j in range(1, m):
+                cands = [(D[i - 1, j], 3), (D[i, j - 1], 1), (D[i - 1, j - 1], 2)]
+                best, code = cands[0]
+                for v, cd in cands[1:]:
+                    if v < best:
+                        best, code = v, cd
+                D[i, j] = best + C[i, j]
+                B[i, j] = code
+        return D, B
+
+    def _find_path(self, B):
+        cur = (B.shape[0] - 1, B.shape[1] - 1)
+        path = [cur]
+        while cur != (0, 0):
+            code = B[cur]
+            if code == 1:
+                cur = (cur[0], cur[1] - 1)
+            elif code == 2:
+                cur = (cur[0] - 1, cur[1] - 1)
+            else:
+                cur = (cur[0] - 1, cur[1])
+            path.append(cur)
+        path.reverse()
+        return path
+
+    def _window(self):
+        w = self.w
+        x = self.chroma_live[:, self.live_ptr : self.live_ptr + w]
+        y = self.chroma_ref[:, self.ref_ptr : self.ref_ptr + w]
+        D, B = self._run_dtw(self._cost(x, y))
+        self.acc[self.live_ptr : self.live_ptr + w, self.ref_ptr : self.ref_ptr + w] = D
+        subpath = self._find_path(B)
+        next_start = self.hop_frames
+        change = False
+        index = None
+        for i in range(len(subpath)):
+            l, r = subpath[i]
+            if l <= next_start:
+                self.path.append((l + self.live_ptr, r + self.ref_ptr))
+            else:
+                change = True
+                index = i - 1
+                break
+        if change:
+            self.live_ptr = subpath[index][0] + self.live_ptr
+            self.ref_ptr = subpath[index][1] + self.ref_ptr
+        else:
+            self.live_ptr += self.hop_frames
+            self.ref_ptr += self.hop_frames
