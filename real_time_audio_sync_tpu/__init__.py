@@ -27,6 +27,21 @@ Layer map (mirrors SURVEY.md §1, redesigned TPU-first):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache: the tunneled-TPU environment recompiles each
+# program remotely per process (20-350 s for the larger engine programs);
+# caching executables on disk makes that a one-time cost.  Opt out with
+# RTAS_NO_COMPILE_CACHE=1.
+if not _os.environ.get("RTAS_NO_COMPILE_CACHE"):
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("RTAS_COMPILE_CACHE_DIR", _os.path.expanduser("~/.cache/rtas_jax_cache")),
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 from real_time_audio_sync_tpu.features.chroma import (  # noqa: F401
     wav_to_chroma,
     wav_to_chroma_col,

@@ -1,0 +1,208 @@
+"""Pair and corpus evaluation drivers (reference tests.py:143-262,
+test_simple.py:94-198).
+
+``align_pair`` mirrors ``test_livenote``/``test_wtw``: extract features, run
+the selected engine streaming (insert-per-frame for chroma engines,
+``np.array_split(live, 4096)`` raw-audio chunks for WTW — the harness's real
+quirk, tests.py:186), then score against beat ground truth.
+
+``CorpusRunner`` mirrors ``test_all``: walk the corpus directory, form all
+i<j recording pairs per piece (skipping ``_20b`` excerpts, tests.py:216),
+evaluate the engine on each pair, average the headline metric (% of path
+points >3 s off), and cross-check the recorded BSO field path when
+applicable (tests.py:245-251).  Missing wav files are reported and skipped
+(the reference would crash; most corpus audio is absent from this mount —
+SURVEY.md §2 C16).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from real_time_audio_sync_tpu.eval.ground_truth import GroundTruth
+from real_time_audio_sync_tpu.eval.logs import path_from_field_log
+from real_time_audio_sync_tpu.eval.scorer import PathScorer, ScoreResult
+
+DEFAULT_PARAMS = {"search_band_width": 50, "max_run_count": 3}  # tests.py:140
+DEFAULT_WTW_PARAMS = {  # tests.py:174
+    "fft_len": 4096,
+    "hop_size": 2048,
+    "dtw_win_size": 4096 * 10,
+    "dtw_hop_size": 2048 * 10,
+}
+
+ENGINES = ("dtw", "otw", "livenote", "livenote_v2", "livenote_v2_diff", "wtw")
+
+
+@dataclasses.dataclass
+class PairResult:
+    ref_wav: str
+    live_wav: str
+    engine: str
+    path: np.ndarray
+    score: ScoreResult
+
+
+def _streaming_path(engine, live_seq) -> List[Tuple[int, int]]:
+    for i in range(live_seq.shape[1]):
+        if engine.insert(live_seq[:, i]) == "stop":
+            break
+    return engine.path
+
+
+def align_pair(
+    ref_wav: str,
+    live_wav: str,
+    engine: str = "livenote_v2_diff",
+    params: Optional[dict] = None,
+    dtype=np.float32,
+) -> PairResult:
+    """Align one recording pair with the chosen engine and score it."""
+    from real_time_audio_sync_tpu.features.chroma import wav_to_chroma, wav_to_chroma_diff
+    from real_time_audio_sync_tpu.models import (
+        DTW,
+        LiveNote,
+        LiveNoteV2,
+        OnlineTimeWarping,
+        WTW,
+    )
+    from real_time_audio_sync_tpu.utils.wavio import load_wav
+
+    if engine not in ENGINES:
+        raise ValueError(f"unknown engine {engine!r}; choose from {ENGINES}")
+
+    if engine == "wtw":
+        wtw = WTW(ref_wav, params or DEFAULT_WTW_PARAMS, dtype=dtype)
+        live, fs = load_wav(live_wav)
+        assert fs == 22050
+        for buf in np.array_split(live, 4096):  # tests.py:186
+            if wtw.insert(buf.tolist()) == "stop":
+                break
+        path = wtw.path
+    else:
+        feature = wav_to_chroma_diff if engine == "livenote_v2_diff" else wav_to_chroma
+        ref_seq = feature(ref_wav, dtype=dtype)
+        live_seq = feature(live_wav, dtype=dtype)
+        p = params or DEFAULT_PARAMS
+        if engine == "dtw":
+            _, _, path = DTW(live_seq, ref_seq, dtype=dtype)
+        elif engine == "otw":
+            path = _streaming_path(OnlineTimeWarping(ref_seq, p, dtype=dtype), live_seq)
+        elif engine == "livenote":
+            path = _streaming_path(LiveNote(ref_seq, p, dtype=dtype), live_seq)
+        elif engine == "livenote_v2":
+            path = _streaming_path(LiveNoteV2(ref_seq, p, dtype=dtype), live_seq)
+        else:  # livenote_v2_diff: Euclidean cost on chroma-diff (tests.py:156)
+            path = _streaming_path(
+                LiveNoteV2(ref_seq, p, chroma_diff=True, dtype=dtype), live_seq
+            )
+
+    score = PathScorer.for_pair(ref_wav, live_wav).score(path)
+    return PairResult(ref_wav, live_wav, engine, np.asarray(path), score)
+
+
+def corpus_pairs(recordings_dir: str) -> List[Tuple[str, str]]:
+    """All i<j recording pairs per piece directory (tests.py:211-227),
+    skipping ``_20b`` excerpts."""
+    pairs = []
+    root = recordings_dir.rstrip("/")
+    for d in sorted(os.listdir(root)):
+        piece_dir = os.path.join(root, d)
+        if not os.path.isdir(piece_dir):
+            continue
+        recs: List[str] = []
+        for f in sorted(os.listdir(piece_dir)):
+            stem = f[:-4]
+            if f.startswith(d) and stem not in recs and not stem.endswith("_20b"):
+                recs.append(stem)
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                pairs.append(
+                    (os.path.join(piece_dir, recs[i] + ".wav"), os.path.join(piece_dir, recs[j] + ".wav"))
+                )
+    return pairs
+
+
+@dataclasses.dataclass
+class CorpusReport:
+    results: List[PairResult]
+    skipped: List[Tuple[str, str]]  # pairs with missing audio
+    field_check: Optional[ScoreResult] = None
+
+    @property
+    def mean_error(self) -> float:
+        """Mean % of path points >3 s off (tests.py:256-262)."""
+        errors = [r.score.pct_off_3s for r in self.results]
+        if self.field_check is not None:
+            errors.append(self.field_check.pct_off_3s)
+        return float(np.mean(errors)) if errors else float("nan")
+
+
+class CorpusRunner:
+    """``test_all`` parity (tests.py:199-262)."""
+
+    def __init__(self, recordings_dir: str, engine: str = "livenote_v2_diff", params: Optional[dict] = None, dtype=np.float32):
+        self.recordings_dir = recordings_dir
+        self.engine = engine
+        self.params = params
+        self.dtype = dtype
+
+    def evaluate(self, field_log: Optional[str] = None, verbose: bool = True) -> CorpusReport:
+        results: List[PairResult] = []
+        skipped: List[Tuple[str, str]] = []
+        for ref_wav, live_wav in corpus_pairs(self.recordings_dir):
+            if not (os.path.exists(ref_wav) and os.path.exists(live_wav)):
+                skipped.append((ref_wav, live_wav))
+                continue
+            result = align_pair(ref_wav, live_wav, self.engine, self.params, self.dtype)
+            results.append(result)
+            if verbose:
+                s = result.score
+                print(
+                    f"{os.path.basename(ref_wav)} vs {os.path.basename(live_wav)} "
+                    f"[{self.engine}]: >1b={s.pct_off_beats[1]:.2f}% "
+                    f">3b={s.pct_off_beats[3]:.2f}% >3s={s.pct_off_3s:.2f}%"
+                )
+
+        # recorded-field-path cross-check (tests.py:245-251)
+        field_check = None
+        if field_log and os.path.exists(field_log):
+            bso_ref = os.path.join(self.recordings_dir, "bso", "bso_01.wav")
+            bso_live = os.path.join(self.recordings_dir, "bso", "bso_02.wav")
+            if os.path.exists(bso_ref[:-4] + ".csv") and os.path.exists(bso_live[:-4] + ".csv"):
+                scorer = PathScorer(
+                    GroundTruth.from_csv(bso_ref[:-4] + ".csv"),
+                    GroundTruth.from_csv(bso_live[:-4] + ".csv"),
+                )
+                field_check = scorer.score(path_from_field_log(field_log))
+                if verbose:
+                    print(f"field-log cross-check: >3s={field_check.pct_off_3s:.2f}%")
+
+        report = CorpusReport(results, skipped, field_check)
+        if verbose:
+            if skipped:
+                print(f"skipped {len(skipped)} pairs with missing audio")
+            print(f"mean error (% points >3 s off): {report.mean_error:.3f}")
+        return report
+
+
+def run_simple(ref_wav: str, live_wav: str, engines: Sequence[str] = ENGINES, dtype=np.float32, verbose: bool = True) -> Dict[str, PairResult]:
+    """The test_simple.py:94-198 smoke driver: run every engine on one pair
+    and report bucket accuracies (incl. the insert-vs-set_live property for
+    the online engines, exercised in the test suite)."""
+    out = {}
+    for engine in engines:
+        result = align_pair(ref_wav, live_wav, engine, dtype=dtype)
+        out[engine] = result
+        if verbose:
+            s = result.score
+            print(
+                f"{engine:>16}: >1b={s.pct_off_beats[1]:6.2f}%  >3b={s.pct_off_beats[3]:5.2f}%  "
+                f">5b={s.pct_off_beats[5]:5.2f}%  >10b={s.pct_off_beats[10]:5.2f}%  "
+                f"sq_err={s.squared_beat_error:10.1f}  n={s.count}"
+            )
+    return out

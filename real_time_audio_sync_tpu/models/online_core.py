@@ -148,8 +148,13 @@ def _set_direction(acc, t, j, run_count, previous, path, path_len, last_x, last_
 
 
 def _column_phase(state: OnlineState, ref, cfg: OnlineConfig) -> OnlineState:
-    """The reference's inner while-loop (otw_eran.py:64-85), unrolled to the
-    static bound with predication."""
+    """The reference's inner while-loop (otw_eran.py:64-85) as a bounded
+    ``lax.while_loop``: the slope constraint caps consecutive Column
+    directions at max_run_count, so the loop terminates within ``loop_iters``
+    iterations by construction (an explicit counter enforces the bound and
+    flags ``overflow`` if ever hit).  A while_loop keeps the compiled program
+    small — one body instance instead of ``loop_iters`` inlined copies, which
+    matters enormously for remote-compile time on the target platform."""
     n = ref.shape[1]
 
     def iteration(st: OnlineState, active):
@@ -188,14 +193,22 @@ def _column_phase(state: OnlineState, ref, cfg: OnlineConfig) -> OnlineState:
         )
         return st, do_dir & (d == COL)
 
-    active = ~state.stopped
-    for _ in range(cfg.loop_iters):
-        state, active = iteration(state, active)
+    def loop_cond(carry):
+        st, active, iters = carry
+        return active & (iters < cfg.loop_iters)
+
+    def loop_body(carry):
+        st, active, iters = carry
+        st, active = iteration(st, active)
+        return st, active, iters + 1
+
+    state, active, _ = lax.while_loop(
+        loop_cond, loop_body, (state, ~state.stopped, jnp.int32(0))
+    )
     return state._replace(overflow=state.overflow | active)
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
-def insert_step(state: OnlineState, col, ref, cfg: OnlineConfig) -> OnlineState:
+def _insert_body(state: OnlineState, col, ref, cfg: OnlineConfig) -> OnlineState:
     """One streaming insert (otw_eran.py:38-85 / livenote.py:37-98)."""
     f, m = state.live.shape
 
@@ -229,6 +242,27 @@ def insert_step(state: OnlineState, col, ref, cfg: OnlineConfig) -> OnlineState:
     # call would read out of bounds); we freeze instead — a deliberate,
     # graceful deviation.
     return lax.cond(state.stopped, lambda s: s, when_active, state)
+
+
+insert_step = partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))(_insert_body)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def insert_block(state: OnlineState, cols, ref, cfg: OnlineConfig) -> OnlineState:
+    """Insert a block of feature columns in ONE device dispatch: a
+    ``lax.scan`` of the exact single-insert body over ``cols`` (F, K).
+
+    Semantically identical to K successive ``insert_step`` calls (inserts
+    after "stop" freeze), but amortizes per-dispatch overhead — on the
+    tunneled-TPU platform a dispatch costs ~30-50 ms while one on-device
+    insert costs ~40 µs, so block streaming is what makes ≥100× real-time
+    streaming reachable there."""
+
+    def step(st, col):
+        return _insert_body(st, col, ref, cfg), None
+
+    state, _ = lax.scan(step, state, jnp.transpose(cols))
+    return state
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
@@ -340,6 +374,18 @@ class BandedOnlineEngine:
             return "stop"
         if bool(self.state.overflow):  # pragma: no cover - design invariant
             raise AssertionError("column-phase loop bound violated")
+        return None
+
+    def insert_block(self, cols):
+        """Insert K feature columns (F, K) in one device dispatch —
+        semantically identical to K ``insert`` calls; returns ``"stop"`` if
+        the reference sequence was exhausted anywhere in the block."""
+        cols = np.ascontiguousarray(cols, self.dtype)
+        if cols.ndim != 2:
+            raise ValueError("insert_block expects a (F, K) column block")
+        self.state = insert_block(self.state, cols, self.ref, self.cfg)
+        if bool(self.state.stopped):
+            return "stop"
         return None
 
     def set_live(self, live):

@@ -1,0 +1,80 @@
+import os
+import pathlib
+
+import numpy as np
+import pytest
+
+from real_time_audio_sync_tpu.eval.corpus import (
+    CorpusRunner,
+    align_pair,
+    corpus_pairs,
+    run_simple,
+)
+
+REF = pathlib.Path("/root/reference")
+
+
+def test_corpus_pairing_rules():
+    pairs = corpus_pairs(str(REF / "Songs"))
+    names = [(os.path.basename(a)[:-4], os.path.basename(b)[:-4]) for a, b in pairs]
+    # i<j pairs per piece, _20b excerpts skipped (tests.py:216-220)
+    assert ("bach_01", "bach_03") in names
+    assert ("bso_01", "bso_02") in names
+    assert ("chopin_li", "chopin_rachmaninoff") in names
+    assert not any("_20b" in a or "_20b" in b for a, b in names)
+    # vivaldi m1 has 3 recordings → 3 pairs
+    v1 = [p for p in names if p[0].startswith("vivaldi_m1")]
+    assert len(v1) == 3
+    # all pairs are i<j (no duplicates/reverses)
+    assert len(set(names)) == len(names)
+
+
+def test_corpus_runner_skips_missing_audio():
+    # only the chopin _20b wavs exist in the mount and those are excluded
+    # from pairing — every pair is skipped, mean is nan, nothing crashes
+    runner = CorpusRunner(str(REF / "Songs"), engine="livenote_v2_diff")
+    report = runner.evaluate(verbose=False)
+    assert report.results == []
+    assert len(report.skipped) == len(corpus_pairs(str(REF / "Songs")))
+    assert np.isnan(report.mean_error)
+
+
+def test_align_pair_all_engines_chopin(chopin_pair):
+    ref_wav, live_wav = chopin_pair
+    results = run_simple(ref_wav, live_wav, engines=("dtw", "otw", "livenote", "livenote_v2", "wtw"), dtype=np.float64, verbose=False)
+    for name, result in results.items():
+        assert result.score.count > 100, name
+        assert result.score.pct_off_beats[3] < 3.0, name
+    # offline DTW is the accuracy ceiling
+    assert results["dtw"].score.pct_off_beats[1] <= min(
+        r.score.pct_off_beats[1] for r in results.values()
+    ) + 1e-9
+
+
+def test_align_pair_diff_engine(chopin_pair):
+    ref_wav, live_wav = chopin_pair
+    result = align_pair(ref_wav, live_wav, "livenote_v2_diff", dtype=np.float64)
+    assert result.score.count > 100
+    # chroma-diff features are sparser; allow a looser bound
+    assert result.score.pct_off_beats[3] < 25.0
+
+
+def test_cli_score_log(capsys):
+    from real_time_audio_sync_tpu.eval.__main__ import main
+
+    rc = main([
+        "--score-log", str(REF / "tests/wtw_test_live_1523037133.83.txt"),
+        "--ref-csv", str(REF / "Songs/chopin/chopin_rubinstein_20b.csv"),
+        "--live-csv", str(REF / "Songs/chopin/chopin_rachmaninoff_20b.csv"),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Percent incorrect (within 1 beat): 4.04494382022471" in out
+
+
+def test_cli_unknown_engine(chopin_pair):
+    from real_time_audio_sync_tpu.eval.__main__ import main
+
+    ref_wav, live_wav = chopin_pair
+    with pytest.raises(ValueError):
+        main(["--ref", ref_wav, "--live", live_wav, "--engine", "nope"])

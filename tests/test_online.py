@@ -163,3 +163,21 @@ def test_band_too_wide_raises():
     ref = _unit_cols(rng.random((12, 5)))
     with pytest.raises(ValueError):
         OnlineTimeWarping(ref, {"c": 10, "max_run_count": 3})
+
+
+@pytest.mark.parametrize("block", [1, 7, 32])
+def test_insert_block_equals_sequential_inserts(block):
+    rng = np.random.default_rng(21)
+    ref, live = _make_pair(rng)
+    seq = OnlineTimeWarping(ref, {"c": 10, "max_run_count": 3}, dtype=np.float64)
+    blk = OnlineTimeWarping(ref, {"c": 10, "max_run_count": 3}, dtype=np.float64)
+    for i in range(live.shape[1]):
+        if seq.insert(live[:, i]) == "stop":
+            break
+    n = live.shape[1]
+    for s in range(0, n, block):
+        if blk.insert_block(live[:, s : s + block]) == "stop":
+            break
+    # the block may overshoot past the stop (extra inserts freeze), so the
+    # paths agree exactly
+    assert [tuple(p) for p in blk.path] == [tuple(p) for p in seq.path]

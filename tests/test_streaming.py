@@ -1,0 +1,105 @@
+import numpy as np
+import pytest
+
+from real_time_audio_sync_tpu.eval.logs import parse_field_log
+from real_time_audio_sync_tpu.streaming.runtime import AudioMeter, HopFramer, ScoreFollower
+from real_time_audio_sync_tpu.streaming.sources import SimulatedMic, WavChunkSource
+from real_time_audio_sync_tpu.streaming.writer import AudioWriter, combine_buffers
+from real_time_audio_sync_tpu.utils.wavio import load_wav
+
+
+def test_hop_framer_cadence():
+    framer = HopFramer(fft_len=8, hop_size=4)
+    # push in odd-sized chunks; windows appear exactly at fft boundaries
+    windows = []
+    stream = np.arange(40, dtype=np.float32)
+    for start in range(0, 40, 3):
+        windows += framer.push(stream[start : start + 3])
+    # expected windows: [0:8], [4:12], [8:16], ... (livenote_live hop loop)
+    assert len(windows) >= 8
+    for k, w in enumerate(windows):
+        np.testing.assert_array_equal(w, stream[k * 4 : k * 4 + 8])
+
+
+def test_wav_chunk_source_matches_array_split(chopin_pair):
+    _, live_wav = chopin_pair
+    samples, _ = load_wav(live_wav)
+    chunks = list(WavChunkSource(live_wav, 4096))
+    expect = np.array_split(samples, 4096)
+    assert len(chunks) == 4096
+    np.testing.assert_array_equal(chunks[0], expect[0])
+    np.testing.assert_array_equal(chunks[-1], expect[-1])
+
+
+def test_simulated_mic_covers_all_samples(chopin_pair):
+    _, live_wav = chopin_pair
+    samples, _ = load_wav(live_wav)
+    got = np.concatenate(list(SimulatedMic(live_wav, buffer_size=512)))
+    np.testing.assert_array_equal(got, samples)
+
+
+def test_audio_meter_and_writer(tmp_path):
+    meter = AudioMeter()
+    db = meter.update(np.ones(512, np.float32) * 0.5)
+    assert -7 < db < -5  # 20*log10(0.5) ≈ -6.02
+    w = AudioWriter(str(tmp_path / "cap_"))
+    w.start()
+    w.add_audio(np.ones(100, np.float32) * 0.25)
+    name = w.stop()
+    assert name.endswith("cap_1.wav")
+    samples, fs = load_wav(name)
+    assert fs == 22050
+    assert abs(samples.mean() - 0.25) < 1e-3
+    # auto-numbering
+    w.start()
+    w.add_audio(np.zeros(10, np.float32))
+    assert w.stop().endswith("cap_2.wav")
+
+
+def test_score_follower_end_to_end(chopin_pair, tmp_path):
+    """The full live pipeline (stack 3.4) on the real Chopin pair: simulated
+    mic → hop framing → chroma → OTW insert → beat lookup → field log."""
+    ref_wav, live_wav = chopin_pair
+    follower = ScoreFollower(ref_wav, engine="otw", params={"c": 50, "max_run_count": 3}, log_dir=str(tmp_path), dtype=np.float64)
+    follower.start()
+    events = []
+    for buf in SimulatedMic(live_wav, buffer_size=512):
+        events += follower.receive_audio(buf)
+        if follower.stopped:
+            break
+    log_path = follower.stop()
+
+    assert len(events) > 300
+    # beats advance through the piece
+    beats = [e.beat for e in events if e.beat is not None]
+    assert beats and beats[-1] > beats[0]
+    assert max(e.ref_frame for e in events) > 300
+
+    # log round-trips through the reference format and matches the path
+    log = parse_field_log(log_path)
+    assert log.params()["search_band_width"] == 50
+    assert log.path == [tuple(p) for p in follower.path]
+
+    # accuracy of the streamed path matches the direct-insert regime
+    from real_time_audio_sync_tpu.eval import PathScorer
+
+    score = PathScorer.for_pair(ref_wav, live_wav).score(follower.path)
+    assert score.pct_off_beats[3] < 2.0
+
+
+def test_score_follower_blocks_mode(chopin_pair, tmp_path):
+    ref_wav, live_wav = chopin_pair
+    per_hop = ScoreFollower(ref_wav, engine="livenote", dtype=np.float64)
+    blocks = ScoreFollower(ref_wav, engine="livenote", dtype=np.float64, use_blocks=True)
+    for f in (per_hop, blocks):
+        f.start()
+        for buf in SimulatedMic(live_wav, buffer_size=4096):
+            f.receive_audio(buf)
+            if f.stopped:
+                break
+        f.stop()
+    assert [tuple(p) for p in blocks.path] == [tuple(p) for p in per_hop.path]
+
+
+def test_combine_buffers_empty():
+    assert combine_buffers([]).size == 0
