@@ -33,9 +33,10 @@ import jax as _jax
 
 # Persistent compilation cache: the tunneled-TPU environment recompiles each
 # program remotely per process (20-350 s for the larger engine programs);
-# caching executables on disk makes that a one-time cost.  Opt out with
-# RTAS_NO_COMPILE_CACHE=1.
-if not _os.environ.get("RTAS_NO_COMPILE_CACHE"):
+# caching executables on disk makes that a one-time cost.  Scoped to the TPU
+# platform — CPU compiles are fast and cached CPU AOT artifacts don't port
+# across host machine features.  Opt out with RTAS_NO_COMPILE_CACHE=1.
+if not _os.environ.get("RTAS_NO_COMPILE_CACHE") and "cpu" not in _os.environ.get("JAX_PLATFORMS", "axon"):
     _jax.config.update(
         "jax_compilation_cache_dir",
         _os.environ.get("RTAS_COMPILE_CACHE_DIR", _os.path.expanduser("~/.cache/rtas_jax_cache")),

@@ -265,8 +265,7 @@ def insert_block(state: OnlineState, cols, ref, cfg: OnlineConfig) -> OnlineStat
     return state
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
-def set_live_scan(state: OnlineState, live_full, ref, cfg: OnlineConfig) -> OnlineState:
+def set_live_scan_body(state: OnlineState, live_full, ref, cfg: OnlineConfig, live_len=None, ref_len=None) -> OnlineState:
     """Batch alignment (otw_eran.py:91-142 / livenote.py:102-149) as one
     ``lax.scan`` — the whole alignment runs on-device in a single dispatch.
 
@@ -276,8 +275,10 @@ def set_live_scan(state: OnlineState, live_full, ref, cfg: OnlineConfig) -> Onli
     every live iteration advances t and/or j.
     """
     f, m = state.live.shape
-    n = ref.shape[1]
-    t_live = live_full.shape[1]
+    # true sequence lengths may be traced (padded batch mode); they default
+    # to the array shapes
+    n = jnp.int32(ref.shape[1]) if ref_len is None else ref_len
+    t_live = jnp.int32(live_full.shape[1]) if live_len is None else live_len
 
     live0 = lax.dynamic_update_slice(state.live, live_full[:, 0:1], (_I0, _I0))
     acc0 = eval_origin(state.acc, live0, ref, euclidean=cfg.euclidean)
@@ -327,8 +328,13 @@ def set_live_scan(state: OnlineState, live_full, ref, cfg: OnlineConfig) -> Onli
 
         return lax.cond(st.stopped, lambda s: s, body, st), None
 
-    state, _ = lax.scan(step, state, None, length=t_live + n)
+    state, _ = lax.scan(step, state, None, length=live_full.shape[1] + ref.shape[1])
     return state
+
+
+set_live_scan = partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))(
+    set_live_scan_body
+)
 
 
 # ---------------------------------------------------------------------------

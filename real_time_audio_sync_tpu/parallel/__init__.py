@@ -1,0 +1,6 @@
+from real_time_audio_sync_tpu.parallel.corpus import (  # noqa: F401
+    batched_set_live,
+    corpus_mesh,
+    pad_pairs,
+    sharded_chroma_frames,
+)

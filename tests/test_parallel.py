@@ -1,0 +1,81 @@
+"""Multi-chip paths on the 8-virtual-device CPU mesh (conftest)."""
+
+import jax
+import numpy as np
+import pytest
+
+from real_time_audio_sync_tpu.models import OnlineTimeWarping
+from real_time_audio_sync_tpu.parallel import (
+    batched_set_live,
+    corpus_mesh,
+    pad_pairs,
+    sharded_chroma_frames,
+)
+
+from tests.test_online import _make_pair
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_pad_pairs_shapes():
+    rng = np.random.default_rng(0)
+    refs = [rng.random((12, n)) for n in (30, 45, 37)]
+    lives = [rng.random((12, t)) for t in (50, 33, 61)]
+    r, l, rl, ll = pad_pairs(refs, lives, pad_multiple=8)
+    assert r.shape == (3, 12, 48) and l.shape == (3, 12, 64)
+    assert list(rl) == [30, 45, 37] and list(ll) == [50, 33, 61]
+    np.testing.assert_array_equal(r[0, :, :30], refs[0])
+    assert np.all(r[0, :, 30:] == 0)
+
+
+def test_batched_matches_single_engine():
+    """Padded+vmapped batch alignment reproduces each pair's solo path."""
+    rng = np.random.default_rng(3)
+    pairs = [_make_pair(rng, n_ref=40 + 7 * i, stretch=1.2 + 0.1 * i) for i in range(4)]
+    refs = [p[0] for p in pairs]
+    lives = [p[1] for p in pairs]
+    params = {"c": 10, "max_run_count": 3}
+
+    solo_paths = []
+    for ref, live in pairs:
+        eng = OnlineTimeWarping(ref, params, dtype=np.float64)
+        eng.set_live(live)
+        solo_paths.append(eng.path_array)
+
+    r, l, rl, ll = pad_pairs(refs, lives)
+    batch_paths, mean_len = batched_set_live(r, l, rl, ll, params, dtype=np.float64)
+    for got, want in zip(batch_paths, solo_paths):
+        np.testing.assert_array_equal(got, want)
+    assert float(mean_len) == pytest.approx(np.mean([len(p) for p in solo_paths]))
+
+
+def test_batched_sharded_over_mesh():
+    """Same result when the batch is sharded across all 8 devices."""
+    rng = np.random.default_rng(4)
+    pairs = [_make_pair(rng, n_ref=40, stretch=1.25) for _ in range(8)]
+    refs = [p[0] for p in pairs]
+    lives = [p[1] for p in pairs]
+    params = {"c": 10, "max_run_count": 3}
+    r, l, rl, ll = pad_pairs(refs, lives)
+
+    plain, _ = batched_set_live(r, l, rl, ll, params, dtype=np.float64)
+    mesh = corpus_mesh()
+    sharded, mean_len = batched_set_live(r, l, rl, ll, params, mesh=mesh, dtype=np.float64)
+    for got, want in zip(sharded, plain):
+        np.testing.assert_array_equal(got, want)
+    assert np.isfinite(float(mean_len))
+
+
+def test_sharded_chroma_matches_single_device():
+    from real_time_audio_sync_tpu.features.chroma import chroma_frames
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    frames = rng.standard_normal((16, 4096))
+    mesh = corpus_mesh()
+    sharded = np.asarray(sharded_chroma_frames(frames, mesh, dtype=np.float64))
+    single = np.asarray(chroma_frames(jnp.asarray(frames, jnp.float64)))
+    np.testing.assert_allclose(sharded, single, rtol=1e-12, atol=1e-14)
