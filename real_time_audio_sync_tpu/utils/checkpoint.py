@@ -1,0 +1,40 @@
+"""Engine state checkpoint/resume.
+
+The reference has no checkpointing (SURVEY.md §5.4); its closest analogs are
+the keypress path-log dump and wav capture.  Here, the online engines' state
+is a flat pytree of fixed-shape arrays (models/online_core.OnlineState), so
+a checkpoint is a single ``.npz`` — save mid-performance, restore in a new
+process (or on another chip) and keep following from the same frame.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from real_time_audio_sync_tpu.models.online_core import BandedOnlineEngine, OnlineState
+
+
+def save_state(engine: BandedOnlineEngine, path: str) -> None:
+    """Snapshot a streaming engine's full state to ``path`` (.npz)."""
+    state = engine.state
+    arrays = {f: np.asarray(getattr(state, f)) for f in OnlineState._fields}
+    np.savez_compressed(path, ref=np.asarray(engine.ref), **arrays)
+
+
+def load_state(engine: BandedOnlineEngine, path: str) -> None:
+    """Restore a snapshot into a compatibly-constructed engine (same
+    reference sequence, params and dtype)."""
+    import jax.numpy as jnp
+
+    data = np.load(path)
+    ref = data["ref"]
+    if ref.shape != engine.ref.shape or not np.array_equal(ref, np.asarray(engine.ref)):
+        raise ValueError("checkpoint was taken against a different reference sequence")
+    fields = {}
+    for f in OnlineState._fields:
+        arr = data[f]
+        cur = getattr(engine.state, f)
+        if arr.shape != cur.shape:
+            raise ValueError(f"checkpoint field {f!r} has shape {arr.shape}, engine expects {cur.shape}")
+        fields[f] = jnp.asarray(arr, cur.dtype)
+    engine.state = OnlineState(**fields)

@@ -1,0 +1,91 @@
+"""Auxiliary subsystems: WTW offline evaluator, checkpoint/resume, audio
+config."""
+
+import numpy as np
+import pytest
+
+from real_time_audio_sync_tpu.eval.wtw_offline import WTWOfflineEvaluator
+from real_time_audio_sync_tpu.models import LiveNote, OnlineTimeWarping
+from real_time_audio_sync_tpu.streaming.audio_config import (
+    DEFAULTS,
+    load_audio_config,
+    save_audio_config,
+)
+from real_time_audio_sync_tpu.utils.checkpoint import load_state, save_state
+
+from tests.test_online import _make_pair
+
+
+def test_wtw_offline_evaluator_real_pair(chopin_pair):
+    ref_wav, live_wav = chopin_pair
+    ev = WTWOfflineEvaluator(
+        ref_wav, live_wav,
+        params={"fft_len": 4096, "hop_size": 2048, "dtw_win_size": 4096 * 10, "dtw_hop_size": 2048 * 10},
+        dtype=np.float64,
+    )
+    err = ev.evaluate(buf_size=4096)
+    assert err.count > 100
+    # wtw-style interpolation buckets; field runs recorded 0-4% >1 beat
+    assert err.pct_off_beats[1] < 10.0
+    assert err.pct_off_beats[3] < 2.0
+    assert err.pct_off_beats[10] == 0.0
+    assert err.squared_beat_error >= 0
+
+
+def test_checkpoint_resume_mid_stream(tmp_path):
+    rng = np.random.default_rng(17)
+    ref, live = _make_pair(rng)
+    params = {"c": 10, "max_run_count": 3}
+
+    full = OnlineTimeWarping(ref, params, dtype=np.float64)
+    for i in range(live.shape[1]):
+        if full.insert(live[:, i]) == "stop":
+            break
+
+    # run half, checkpoint, restore into a fresh engine, run the rest
+    half = live.shape[1] // 2
+    first = OnlineTimeWarping(ref, params, dtype=np.float64)
+    for i in range(half):
+        first.insert(live[:, i])
+    ckpt = str(tmp_path / "state.npz")
+    save_state(first, ckpt)
+
+    resumed = OnlineTimeWarping(ref, params, dtype=np.float64)
+    load_state(resumed, ckpt)
+    for i in range(half, live.shape[1]):
+        if resumed.insert(live[:, i]) == "stop":
+            break
+
+    assert [tuple(p) for p in resumed.path] == [tuple(p) for p in full.path]
+    assert resumed.live_ptr == full.live_ptr
+
+
+def test_checkpoint_wrong_reference_rejected(tmp_path):
+    rng = np.random.default_rng(18)
+    ref, live = _make_pair(rng)
+    other_ref, _ = _make_pair(np.random.default_rng(19))
+    params = {"search_band_width": 10, "max_run_count": 3}
+    a = LiveNote(ref, params, dtype=np.float64)
+    a.insert(live[:, 0])
+    ckpt = str(tmp_path / "s.npz")
+    save_state(a, ckpt)
+    b = LiveNote(other_ref, params, dtype=np.float64)
+    with pytest.raises(ValueError):
+        load_state(b, ckpt)
+
+
+def test_audio_config_roundtrip(tmp_path):
+    path = str(tmp_path / "audio_config.cfg")
+    # missing file → defaults (ims/audio.py:155-166)
+    cfg = load_audio_config(path)
+    assert cfg == DEFAULTS
+    cfg["buffersize"] = 1024
+    cfg["outputdevice"] = None
+    save_audio_config(cfg, path)
+    cfg2 = load_audio_config(path)
+    assert cfg2["buffersize"] == 1024
+    assert cfg2["outputdevice"] is None  # 'None' string round-trips
+    # invalid device index is reset against the (backend-less) device list
+    cfg2["inputdevice"] = 99
+    save_audio_config(cfg2, path)
+    assert load_audio_config(path)["inputdevice"] is None
