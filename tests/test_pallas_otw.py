@@ -1,0 +1,82 @@
+"""Fused Pallas alignment kernel vs the XLA engine (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+from real_time_audio_sync_tpu.models import LiveNote, LiveNoteV2, OnlineTimeWarping
+
+from tests.test_online import _make_pair
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode():
+    from jax.experimental.pallas import tpu as pltpu
+
+    ctx = pltpu.force_tpu_interpret_mode()
+    ctx.__enter__()
+    yield
+    ctx.__exit__(None, None, None)
+
+
+PARAMS = {"c": 10, "max_run_count": 3}
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pallas_otw_matches_xla_engine(seed):
+    from real_time_audio_sync_tpu.ops.pallas_otw import pallas_set_live
+
+    rng = np.random.default_rng(seed)
+    ref, live = _make_pair(rng, n_ref=48, stretch=1.25)
+    xla = OnlineTimeWarping(ref, PARAMS, dtype=np.float32)
+    xla.set_live(live)
+
+    path, t, j, stopped = pallas_set_live(ref, live, PARAMS)
+    np.testing.assert_array_equal(path, xla.path_array)
+    assert t == xla.live_ptr
+    assert j == xla.ref_ptr
+
+
+def test_pallas_livenote_variant():
+    from real_time_audio_sync_tpu.ops.pallas_otw import pallas_set_live
+
+    rng = np.random.default_rng(2)
+    ref, live = _make_pair(rng, n_ref=40)
+    xla = LiveNote(ref, {"search_band_width": 10, "max_run_count": 3}, dtype=np.float32)
+    xla.set_live(live)
+    path, t, j, stopped = pallas_set_live(
+        ref, live, PARAMS, sentinel=float("inf"), run_count_init=0
+    )
+    np.testing.assert_array_equal(path, xla.path_array)
+
+
+def test_pallas_v2_monotone_euclidean():
+    from real_time_audio_sync_tpu.ops.pallas_otw import pallas_set_live
+
+    rng = np.random.default_rng(3)
+    ref, live = _make_pair(rng, n_ref=40)
+    ref_d = np.clip(np.diff(ref, axis=1), 0, np.inf)
+    live_d = np.clip(np.diff(live, axis=1), 0, np.inf)
+    xla = LiveNoteV2(
+        ref_d, {"search_band_width": 10, "max_run_count": 3}, chroma_diff=True, dtype=np.float32
+    )
+    xla.set_live(live_d)
+    path, t, j, stopped = pallas_set_live(
+        ref_d, live_d, PARAMS,
+        sentinel=float("inf"), run_count_init=0, monotone_path=True, euclidean=True,
+    )
+    np.testing.assert_array_equal(path, xla.path_array)
+
+
+def test_pallas_ref_exhaustion_stop():
+    from real_time_audio_sync_tpu.ops.pallas_otw import pallas_set_live
+
+    rng = np.random.default_rng(4)
+    ref, live = _make_pair(rng, n_ref=32, stretch=1.0)
+    extra = rng.random((12, 30))
+    extra /= np.linalg.norm(extra, axis=0, keepdims=True)
+    live = np.concatenate([live, extra], axis=1)
+    xla = OnlineTimeWarping(ref, PARAMS, dtype=np.float32)
+    xla.set_live(live)
+    path, t, j, stopped = pallas_set_live(ref, live, PARAMS)
+    np.testing.assert_array_equal(path, xla.path_array)
+    assert stopped == (j >= ref.shape[1])
