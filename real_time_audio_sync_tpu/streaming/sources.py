@@ -67,6 +67,46 @@ class SimulatedMic:
             yield buf
 
 
+class ThreadedSource:
+    """Runs any sample source on a producer thread, handing buffers to the
+    consumer through the native lock-free SPSC ring buffer — the same
+    decoupling PortAudio's ring gives the reference between the audio driver
+    thread and the polled Python side (ims/audio.py:64-74)."""
+
+    def __init__(self, source, ring_capacity: int = 1 << 18, poll_chunk: int = 2048):
+        self.source = source
+        self.poll_chunk = poll_chunk
+        from real_time_audio_sync_tpu.native import NativeRingBuffer
+
+        self.ring = NativeRingBuffer(ring_capacity)
+
+    def __iter__(self):
+        import threading
+        import time as _time
+
+        done = threading.Event()
+
+        def produce():
+            for buf in self.source:
+                buf = np.asarray(buf, np.float32)
+                off = 0
+                while off < buf.size:
+                    off += self.ring.push(buf[off:])
+                    if off < buf.size:
+                        _time.sleep(0.0005)  # ring full — consumer is behind
+            done.set()
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while not (done.is_set() and self.ring.readable() == 0):
+            chunk = self.ring.pop(self.poll_chunk)
+            if chunk.size:
+                yield chunk
+            else:
+                _time.sleep(0.0005)
+        t.join()
+
+
 class MicSource:
     """Real microphone input; requires pyaudio or sounddevice."""
 
