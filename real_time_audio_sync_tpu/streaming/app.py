@@ -13,7 +13,7 @@ from __future__ import annotations
 import sys
 from typing import Optional
 
-from real_time_audio_sync_tpu.streaming.runtime import ScoreFollower
+from real_time_audio_sync_tpu.streaming.runtime import ScoreFollower, WTWFollower
 from real_time_audio_sync_tpu.streaming.sources import MicSource, SimulatedMic
 from real_time_audio_sync_tpu.streaming.writer import AudioWriter
 
@@ -34,9 +34,12 @@ def follow_live(
     ``live_wav=None`` uses the real microphone (if a backend exists),
     otherwise the wav is streamed as a simulated mic.
     """
-    follower = ScoreFollower(
-        ref_wav, engine=engine, params=params, log_dir=log_dir, use_blocks=use_blocks
-    )
+    if engine == "wtw":
+        follower = WTWFollower(ref_wav, live_wav, params=params, log_dir=log_dir)
+    else:
+        follower = ScoreFollower(
+            ref_wav, engine=engine, params=params, log_dir=log_dir, use_blocks=use_blocks
+        )
     source = (
         SimulatedMic(live_wav, realtime=realtime) if live_wav else MicSource()
     )
@@ -84,7 +87,7 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="real_time_audio_sync_tpu.streaming")
     ap.add_argument("--ref", required=True, help="reference recording (wav)")
     ap.add_argument("--live", help="live recording to simulate as mic input (omit for a real microphone)")
-    ap.add_argument("--engine", default="otw", choices=["otw", "livenote", "livenote_v2"])
+    ap.add_argument("--engine", default="otw", choices=["otw", "livenote", "livenote_v2", "wtw"])
     ap.add_argument("--realtime", action="store_true", help="pace the simulated mic at the audio clock")
     ap.add_argument("--blocks", action="store_true", help="insert per audio buffer (one dispatch per block) instead of per hop")
     ap.add_argument("--log-dir", default="tests_live")

@@ -192,3 +192,107 @@ class AudioMeter:
             rms = np.clip(rms, 1e-10, 1)
             self.db = float(20 * np.log10(rms))
         return self.db
+
+
+class WTWFollower:
+    """Live follower around the raw-audio WTW engine — the wtw_live.py app
+    role (SURVEY.md §2 C12): mic buffers go straight to ``WTW.insert`` (the
+    engine does its own framing), the display shows the current reference
+    beat, stopping writes a field log in the WTW header format
+    (wtw_live.py:169-174) and, when live ground truth exists, appends the
+    accuracy-summary lines the 'e' key produced (wtw_live.py:299-307)."""
+
+    def __init__(
+        self,
+        ref_wav: str,
+        live_wav: Optional[str] = None,
+        params: Optional[dict] = None,
+        log_dir: Optional[str] = None,
+        dtype=np.float32,
+    ):
+        from real_time_audio_sync_tpu.models.wtw import WTW
+
+        # live-app window sizes (wtw_live.py:106)
+        self.params = dict(
+            params
+            or {"fft_len": 4096, "hop_size": 2048, "dtw_win_size": 4096 * 50, "dtw_hop_size": 2048 * 50}
+        )
+        self.ref_wav = ref_wav
+        self.dtw = WTW(ref_wav, self.params, dtype=dtype)
+        self.ref_gt = (
+            GroundTruth.from_csv(ref_wav[:-4] + ".csv")
+            if os.path.exists(ref_wav[:-4] + ".csv")
+            else None
+        )
+        self.live_gt = (
+            GroundTruth.from_csv(live_wav[:-4] + ".csv")
+            if live_wav and os.path.exists(live_wav[:-4] + ".csv")
+            else None
+        )
+        self.meter = AudioMeter()
+        self.latency = LatencyRecorder(audio_seconds_per_event=FRAME_PERIOD_SEC)
+        self.log_dir = log_dir
+        self.recording = False
+        self.stopped = False
+
+    def start(self) -> None:
+        self.recording = True
+
+    def receive_audio(self, frames) -> List[FollowEvent]:
+        self.meter.update(frames)
+        if not self.recording or self.stopped:
+            return []
+        self.latency.start()
+        status = self.dtw.insert(np.asarray(frames, np.float32).tolist())
+        self.latency.stop()
+        if status == "stop":
+            self.stopped = True
+        if not self.dtw.path:
+            return []
+        live_f, ref_f = self.dtw.path[-1]
+        beat = None
+        if self.ref_gt is not None:
+            from real_time_audio_sync_tpu.eval.ground_truth import get_beat
+
+            beat = get_beat(ref_f, self.ref_gt.times, self.ref_gt.beats)
+        return [FollowEvent(int(live_f), int(ref_f), beat, None, ref_f * FRAME_PERIOD_SEC, self.stopped)]
+
+    def compute_error(self):
+        """'e'-key behavior (wtw_live.py:212-214,267-309): beat-bucket
+        accuracy of the committed path; needs live ground truth."""
+        if self.live_gt is None or self.ref_gt is None:
+            return None
+        from real_time_audio_sync_tpu.eval.scorer import PathScorer
+
+        return PathScorer(self.ref_gt, self.live_gt).score(self.dtw.path)
+
+    def stop(self) -> Optional[str]:
+        self.recording = False
+        if not self.log_dir:
+            return None
+        os.makedirs(self.log_dir, exist_ok=True)
+        log_path = os.path.join(self.log_dir, f"wtw_test_live_{time.time()}.txt")
+        summary = []
+        score = self.compute_error()
+        if score is not None:
+            for t_, label in ((1, "1 beat"), (3, "3 beats"), (5, "5 beats"), (10, "10 beats")):
+                summary.append(
+                    f"Percent incorrect (within {label}):{score.pct_off_beats[t_]}%"
+                )
+        write_field_log(
+            log_path,
+            self.ref_wav,
+            [
+                ("fft_len", self.params["fft_len"]),
+                ("hop_size", self.params["hop_size"]),
+                ("dtw_win_size", self.params["dtw_win_size"]),
+                ("dtw_hop_size", self.params["dtw_hop_size"]),
+            ],
+            self.dtw.path,
+            summary=summary,
+        )
+        return log_path
+
+    @property
+    def path(self):
+        return self.dtw.path

@@ -103,3 +103,58 @@ def test_score_follower_blocks_mode(chopin_pair, tmp_path):
 
 def test_combine_buffers_empty():
     assert combine_buffers([]).size == 0
+
+
+def test_wtw_follower_live_pipeline(chopin_pair, tmp_path):
+    """wtw_live.py parity: raw buffers → WTW → field log with accuracy
+    summary lines."""
+    from real_time_audio_sync_tpu.streaming.runtime import WTWFollower
+    from real_time_audio_sync_tpu.eval.logs import parse_field_log, parse_summary_percentages
+
+    ref_wav, live_wav = chopin_pair
+    f = WTWFollower(ref_wav, live_wav, log_dir=str(tmp_path), dtype=np.float64)
+    f.start()
+    events = []
+    for buf in SimulatedMic(live_wav, buffer_size=2048):
+        events += f.receive_audio(buf)
+        if f.stopped:
+            break
+    log_path = f.stop()
+    assert len(f.path) > 100
+    log = parse_field_log(log_path)
+    assert log.params()["dtw_win_size"] == 4096 * 50
+    assert log.path == [tuple(p) for p in f.path]
+    pct = parse_summary_percentages(log.summary)
+    assert len(pct) == 4
+    # live-app window size on this pair sits in the recorded 0-4% regime
+    assert pct[0] < 8.0 and pct[1] < 1.0
+
+
+def test_app_loop_terminate_funcs_run_on_crash():
+    from real_time_audio_sync_tpu.streaming.core import AppLoop, register_terminate_func, run
+
+    ran = []
+
+    class Crashy(AppLoop):
+        def main(self):
+            raise RuntimeError("boom")
+
+    register_terminate_func(lambda: ran.append("cleanup"))
+    run(Crashy())  # must not raise; cleanup must run (ims/core.py:95-102)
+    assert ran == ["cleanup"]
+
+
+def test_display_widgets():
+    from real_time_audio_sync_tpu.streaming.display import GraphDisplay, KFAnim, MeterDisplay
+
+    m = MeterDisplay((-96, 0), width=10)
+    m.set(-48)
+    bar = m.render()
+    assert bar.count("█") == 5
+    g = GraphDisplay(num_pts=5, in_range=(0, 8))
+    for v in range(8):
+        g.add_point(v)
+    assert len(g.render()) == 5
+    kf = KFAnim((0, 0.0), (2, 10.0))
+    assert kf.eval(1) == 5.0
+    assert kf.is_active(1) and not kf.is_active(3)

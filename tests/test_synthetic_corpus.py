@@ -1,0 +1,73 @@
+"""End-to-end corpus evaluation on a generated corpus (the reference corpus
+audio is absent from the mount — SURVEY.md §2 C16 — so we synthesize pieces
+with known beat structure and exercise the full test_all-style flow)."""
+
+import csv
+import os
+
+import numpy as np
+import pytest
+
+from real_time_audio_sync_tpu.eval.corpus import CorpusRunner, corpus_pairs
+from real_time_audio_sync_tpu.utils.wavio import write_wav
+
+FS = 22050
+
+
+@pytest.fixture(scope="module")
+def synthetic_corpus(tmp_path_factory):
+    """Two pieces x two recordings each, with beat CSVs, in corpus layout."""
+    root = tmp_path_factory.mktemp("Songs")
+    rng = np.random.default_rng(42)
+    for piece in ("alpha", "beta"):
+        d = root / piece
+        d.mkdir()
+        # both recordings render the SAME chord chart at different tempi
+        chart_rng = np.random.default_rng(hash(piece) % (2 ** 31))
+        freqs = 220.0 * 2 ** (np.arange(12) / 12)
+        n_beats = 24
+        chords = [chart_rng.choice(12, size=3, replace=False) for _ in range(n_beats)]
+        for idx in range(2):
+            tempo = 95.0 + 12 * idx
+            perf_rng = np.random.default_rng(1000 + idx)
+            beat_times = [0.0]
+            samples = []
+            for b in range(n_beats):
+                dur = 60.0 / (tempo * (1 + perf_rng.uniform(-0.08, 0.08)))
+                t = np.arange(int(dur * FS)) / FS
+                seg = sum(np.sin(2 * np.pi * freqs[k] * t) for k in chords[b])
+                env = np.minimum(1.0, 10 * t) * np.minimum(1.0, np.maximum(10 * (dur - t), 0))
+                samples.append(seg * env * 0.2)
+                beat_times.append(beat_times[-1] + dur)
+            wav = np.concatenate(samples)
+            name = f"{piece}_{idx:02d}"
+            write_wav(str(d / f"{name}.wav"), wav)
+            with open(d / f"{name}.csv", "w", newline="") as f:
+                w = csv.writer(f)
+                for beat, t_sec in enumerate(beat_times[:-1], start=1):
+                    w.writerow([f"{t_sec:.6f}", beat])
+    return str(root)
+
+
+def test_corpus_pairs_on_synthetic(synthetic_corpus):
+    pairs = corpus_pairs(synthetic_corpus)
+    assert len(pairs) == 2  # one i<j pair per piece
+    assert all(os.path.exists(p) for pair in pairs for p in pair)
+
+
+@pytest.mark.parametrize("engine,max_err", [
+    ("dtw", 5.0),
+    ("livenote_v2", 10.0),
+    ("wtw", 10.0),
+])
+def test_corpus_sweep_synthetic(synthetic_corpus, engine, max_err):
+    """Full test_all flow: walk, pair, align, score, average."""
+    runner = CorpusRunner(synthetic_corpus, engine=engine, dtype=np.float64)
+    report = runner.evaluate(verbose=False)
+    assert len(report.results) == 2
+    assert not report.skipped
+    for r in report.results:
+        assert r.score.count > 20
+        # same chord chart at ~12% tempo offset: alignment should be tight
+        assert r.score.pct_off_beats[3] <= max_err, (engine, r.ref_wav, r.score.pct_off_beats)
+    assert np.isfinite(report.mean_error)
