@@ -96,6 +96,19 @@ def main() -> int:
     log(f"block streaming (32 frames/dispatch): {block_wall/done_frames*1e3:.2f} ms/frame amortized, "
         f"RTF {done_frames*HOP_SEC/block_wall:.0f}x")
 
+    # --- 3b. batched corpus alignment (BASELINE.json config 5): vmapped
+    # online-DTW over B pair-copies on the one chip
+    from real_time_audio_sync_tpu.parallel import batched_set_live, pad_pairs
+
+    B = 16
+    r_b, l_b, rl_b, ll_b = pad_pairs([ref] * B, [live] * B)
+    batched_set_live(r_b, l_b, rl_b, ll_b, PARAMS)  # compile
+    t0 = time.perf_counter()
+    paths, _ = batched_set_live(r_b, l_b, rl_b, ll_b, PARAMS)
+    batch_wall = time.perf_counter() - t0
+    log(f"batched corpus (B={B}, one chip): {batch_wall*1e3:.1f} ms total -> "
+        f"aggregate RTF {B*audio_sec/batch_wall:.0f}x ({batch_wall/B/n_frames*1e6:.0f} us/frame/stream)")
+
     # --- 4. reference-implementation baseline on this host (numpy oracle)
     vs_baseline = None
     try:

@@ -130,6 +130,10 @@ def _make_kernel(cfg: OnlineConfig, c: int, n_pad: int, live_pad_w: int, n_steps
             """(c+1, 1): column j of the window, all rows."""
             return pltpu.roll(acc_ref[:], n_pad - j, axis=1)[:, 0:1]
 
+        def acc_two_cols(j):
+            """(c+1, 2): columns j-1 and j from a single rotation."""
+            return pltpu.roll(acc_ref[:], n_pad - (j - 1), axis=1)[:, 0:2]
+
         def cost_row_at(t):
             lv = live_col(t)
             if cfg.euclidean:
@@ -226,7 +230,8 @@ def _make_kernel(cfg: OnlineConfig, c: int, n_pad: int, live_pad_w: int, n_steps
             """Evaluate the column band [max(0,t-c+1)..t] at the fresh column
             j (otw_eran.py:73-77); window rows 1..c, chained down the rows."""
             cost = cost_col_at(t, j)  # (c, 1), row k ↔ abs row t-c+1+k
-            colj1 = acc_col(j - 1)  # (c+1, 1)
+            two = acc_two_cols(j)  # (c+1, 2): lane 0 = col j-1, lane 1 = col j
+            colj1 = two[:, 0:1]
             left = colj1[1 : c + 1]
             diag = colj1[0:c]
             abs_row = row_iota1 + (t - (c - 1))
@@ -238,7 +243,7 @@ def _make_kernel(cfg: OnlineConfig, c: int, n_pad: int, live_pad_w: int, n_steps
             cost_m = jnp.where(valid, cost, inf)
             # 'up' neighbour of the band's first cell: acc[t-c, j] when the
             # band is unclamped (t >= c), nothing otherwise
-            up_boundary = acc_col(j)[0, 0]
+            up_boundary = two[0, 1]
             r_init = jnp.where(t >= c, up_boundary, inf)
             first_valid = abs_row == jnp.maximum(t - (c - 1), 0)
             b = jnp.where(first_valid, jnp.minimum(b, r_init + cost_m), b)
