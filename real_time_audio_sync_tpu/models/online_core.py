@@ -147,7 +147,7 @@ def _set_direction(acc, t, j, run_count, previous, path, path_len, last_x, last_
     return d, run_count, previous, path, path_len, last_x, last_y
 
 
-def _column_phase(state: OnlineState, ref, cfg: OnlineConfig) -> OnlineState:
+def _column_phase(state: OnlineState, ref, cfg: OnlineConfig, ref_len=None) -> OnlineState:
     """The reference's inner while-loop (otw_eran.py:64-85) as a bounded
     ``lax.while_loop``: the slope constraint caps consecutive Column
     directions at max_run_count, so the loop terminates within ``loop_iters``
@@ -155,7 +155,7 @@ def _column_phase(state: OnlineState, ref, cfg: OnlineConfig) -> OnlineState:
     flags ``overflow`` if ever hit).  A while_loop keeps the compiled program
     small — one body instance instead of ``loop_iters`` inlined copies, which
     matters enormously for remote-compile time on the target platform."""
-    n = ref.shape[1]
+    n = jnp.int32(ref.shape[1]) if ref_len is None else ref_len
 
     def iteration(st: OnlineState, active):
         do_col = active & (st.direction != ROW)
@@ -208,9 +208,13 @@ def _column_phase(state: OnlineState, ref, cfg: OnlineConfig) -> OnlineState:
     return state._replace(overflow=state.overflow | active)
 
 
-def _insert_body(state: OnlineState, col, ref, cfg: OnlineConfig) -> OnlineState:
-    """One streaming insert (otw_eran.py:38-85 / livenote.py:37-98)."""
+def _insert_body(state: OnlineState, col, ref, cfg: OnlineConfig, ref_len=None, live_cap=None) -> OnlineState:
+    """One streaming insert (otw_eran.py:38-85 / livenote.py:37-98).
+
+    ``ref_len``/``live_cap`` override the shape-derived sequence bounds for
+    zero-padded batched serving (parallel/serving.py)."""
     f, m = state.live.shape
+    cap = jnp.int32(m) if live_cap is None else live_cap
 
     def when_first(st: OnlineState) -> OnlineState:
         live = lax.dynamic_update_slice(st.live, col[:, None], (_I0, _I0))
@@ -231,9 +235,9 @@ def _insert_body(state: OnlineState, col, ref, cfg: OnlineConfig) -> OnlineState
                 s.acc, live, ref, t, s.j, c=cfg.c, sentinel=cfg.sentinel, euclidean=cfg.euclidean, exact=cfg.exact_chain
             )
             s = s._replace(live=live, acc=acc, t=t)
-            return _column_phase(s, ref, cfg)
+            return _column_phase(s, ref, cfg, ref_len)
 
-        return lax.cond(t >= m, oob, run, st)
+        return lax.cond(t >= cap, oob, run, st)
 
     def when_active(st: OnlineState) -> OnlineState:
         return lax.cond(st.first, when_first, when_normal, st)

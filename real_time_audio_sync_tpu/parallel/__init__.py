@@ -4,3 +4,4 @@ from real_time_audio_sync_tpu.parallel.corpus import (  # noqa: F401
     pad_pairs,
     sharded_chroma_frames,
 )
+from real_time_audio_sync_tpu.parallel.serving import MultiStreamFollower  # noqa: F401

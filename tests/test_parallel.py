@@ -79,3 +79,38 @@ def test_sharded_chroma_matches_single_device():
     sharded = np.asarray(sharded_chroma_frames(frames, mesh, dtype=np.float64))
     single = np.asarray(chroma_frames(jnp.asarray(frames, jnp.float64)))
     np.testing.assert_allclose(sharded, single, rtol=1e-12, atol=1e-14)
+
+
+def test_multistream_matches_solo_engines():
+    """B concurrent streams (mixed reference lengths) through one vmapped
+    dispatch per frame match each solo engine exactly."""
+    from real_time_audio_sync_tpu.parallel.serving import MultiStreamFollower
+
+    rng = np.random.default_rng(7)
+    pairs = [_make_pair(rng, n_ref=30 + 9 * i, stretch=1.1 + 0.15 * i) for i in range(4)]
+    refs = [p[0] for p in pairs]
+    lives = [p[1] for p in pairs]
+    params = {"c": 10, "max_run_count": 3}
+
+    solo = []
+    for ref, live in pairs:
+        eng = OnlineTimeWarping(ref, params, dtype=np.float64)
+        for i in range(live.shape[1]):
+            if eng.insert(live[:, i]) == "stop":
+                break
+        solo.append(eng)
+
+    ms = MultiStreamFollower(refs, params, dtype=np.float64)
+    max_t = max(l.shape[1] for l in lives)
+    for step in range(max_t):
+        cols = np.zeros((4, 12))
+        active = np.zeros(4, bool)
+        for k, live in enumerate(lives):
+            if step < live.shape[1]:
+                cols[k] = live[:, step]
+                active[k] = True
+        ms.insert(cols, active)
+
+    for k, eng in enumerate(solo):
+        np.testing.assert_array_equal(ms.paths()[k], eng.path_array)
+        assert bool(ms.stopped[k]) == bool(eng.state.stopped)
