@@ -129,6 +129,29 @@ def main() -> int:
         log(f"python baseline unavailable ({e}); vs_baseline = RTF vs 1x real-time")
         vs_baseline = rtf
 
+    # --- 5. wide-band robustness config: per-step cost is O(c) in Python
+    # but flat on the vector unit
+    try:
+        wide = {"c": 200, "max_run_count": 3}
+        eng = OnlineTimeWarping(ref, wide)
+        eng.set_live(live)
+        t0 = time.perf_counter()
+        eng2 = OnlineTimeWarping(ref, wide)
+        eng2.set_live(live)
+        wide_wall = time.perf_counter() - t0
+        from tests.oracle import OracleOTW as _O
+
+        oracle = _O(ref.astype(np.float64), 200, 3, "otw")
+        t0 = time.perf_counter()
+        for i in range(n_frames):
+            if oracle.insert(live.astype(np.float64)[:, i]) == "stop":
+                break
+        wide_py = time.perf_counter() - t0
+        log(f"wide band c=200: ours {wide_wall*1e3:.0f} ms vs python {wide_py*1e3:.0f} ms "
+            f"-> {wide_py/wide_wall:.1f}x faster (RTF {audio_sec/wide_wall:.0f}x)")
+    except Exception as e:
+        log(f"wide-band diagnostic skipped ({e})")
+
     print(json.dumps({
         "metric": "streaming_otw_rtf",
         "value": round(rtf, 1),

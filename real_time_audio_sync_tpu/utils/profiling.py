@@ -68,3 +68,12 @@ class LatencyRecorder:
             "audio_s": audio,
             "rtf": audio / total if total > 0 else float("inf"),
         }
+
+
+def trace(log_dir: str):
+    """Context manager wrapping ``jax.profiler.trace`` — captures a device
+    trace viewable in TensorBoard/Perfetto (the TPU-native replacement for
+    the reference's wall-clock prints, SURVEY.md §5.1)."""
+    import jax
+
+    return jax.profiler.trace(log_dir)

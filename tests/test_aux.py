@@ -89,3 +89,36 @@ def test_audio_config_roundtrip(tmp_path):
     cfg2["inputdevice"] = 99
     save_audio_config(cfg2, path)
     assert load_audio_config(path)["inputdevice"] is None
+
+
+def test_wtw_checkpoint_resume(tmp_path):
+    from real_time_audio_sync_tpu.models.wtw import WTW
+    from real_time_audio_sync_tpu.utils.checkpoint import load_wtw_state, save_wtw_state
+    from real_time_audio_sync_tpu.utils.wavio import write_wav
+    from tests.test_wtw import _synthetic_performance, WTW_PARAMS
+
+    ref = _synthetic_performance(seconds=12.0, seed=3)
+    idx = np.linspace(0, len(ref) - 1, int(len(ref) * 1.05))
+    live = np.interp(idx, np.arange(len(ref)), ref)
+    ref_path = str(tmp_path / "ref.wav")
+    write_wav(ref_path, ref)
+
+    chunks = np.array_split(live, 256)
+    full = WTW(ref_path, WTW_PARAMS, dtype=np.float64)
+    for buf in chunks:
+        if full.insert(buf.tolist()) == "stop":
+            break
+
+    half = len(chunks) // 2
+    first = WTW(ref_path, WTW_PARAMS, dtype=np.float64)
+    for buf in chunks[:half]:
+        first.insert(buf.tolist())
+    ckpt = str(tmp_path / "wtw.npz")
+    save_wtw_state(first, ckpt)
+    resumed = WTW(ref_path, WTW_PARAMS, dtype=np.float64)
+    load_wtw_state(resumed, ckpt)
+    for buf in chunks[half:]:
+        if resumed.insert(buf.tolist()) == "stop":
+            break
+    assert resumed.path == full.path
+    assert resumed.live_ptr == full.live_ptr and resumed.ref_ptr == full.ref_ptr
