@@ -129,6 +129,22 @@ def main() -> int:
         log(f"python baseline unavailable ({e}); vs_baseline = RTF vs 1x real-time")
         vs_baseline = rtf
 
+    # --- 4b. production scale: a ~3-minute piece (5x-tiled pair)
+    try:
+        ref5 = np.tile(ref, (1, 5))
+        live5 = np.tile(live, (1, 5))
+        eng = OnlineTimeWarping(ref5, PARAMS)
+        eng.set_live(live5)  # compile
+        t0 = time.perf_counter()
+        eng2 = OnlineTimeWarping(ref5, PARAMS)
+        eng2.set_live(live5)
+        wall5 = time.perf_counter() - t0
+        audio5 = live5.shape[1] * HOP_SEC
+        log(f"3-minute scale (N={ref5.shape[1]}): {wall5*1e3:.0f} ms -> RTF {audio5/wall5:.0f}x "
+            f"({wall5/live5.shape[1]*1e6:.0f} us/frame)")
+    except Exception as e:
+        log(f"3-minute diagnostic skipped ({e})")
+
     # --- 5. wide-band robustness config: per-step cost is O(c) in Python
     # but flat on the vector unit
     try:

@@ -109,7 +109,7 @@ def init_state(ref: jnp.ndarray, cfg: OnlineConfig, dtype) -> OnlineState:
     )
 
 
-def _append_point(path, path_len, last_x, last_y, x, y, monotone: bool):
+def _append_point(path, path_len, last_x, last_y, x, y, monotone: bool, enable=None):
     """Append (x, y); under the V2 guard only when strictly forward in live
     and non-backward in ref (livenote_v2.py:197-199).  The last appended
     point is threaded as scalars so the guard never reads the path array."""
@@ -117,6 +117,8 @@ def _append_point(path, path_len, last_x, last_y, x, y, monotone: bool):
         ok = (path_len == 0) | ((x > last_x) & (y >= last_y))
     else:
         ok = jnp.bool_(True)
+    if enable is not None:
+        ok = ok & enable
     new_path = lax.dynamic_update_slice(path, jnp.stack([x, y])[None, :], (path_len, _I0))
     path = jnp.where(ok, new_path, path)
     last_x = jnp.where(ok, x, last_x)
@@ -124,16 +126,18 @@ def _append_point(path, path_len, last_x, last_y, x, y, monotone: bool):
     return path, path_len + ok.astype(jnp.int32), last_x, last_y
 
 
-def _set_direction(acc, t, j, run_count, previous, path, path_len, last_x, last_y, cfg: OnlineConfig):
+def _set_direction(acc, t, j, run_count, previous, path, path_len, last_x, last_y, cfg: OnlineConfig, enable=None, old_direction=None):
     """otw_eran.py:153-188 / livenote.py:184-207 as integer arithmetic.
 
     Appends the best point, chooses the next direction, updates
     run_count/previous.  Returns (direction, run_count, previous, path,
-    path_len, last_x, last_y).
+    path_len, last_x, last_y).  ``enable=False`` makes the whole call a
+    no-op (predication by masking — a lax.cond here would force XLA to copy
+    the dense acc buffer every step).
     """
     x, y = band_argmin(acc, t, j, c=cfg.c)
     path, path_len, last_x, last_y = _append_point(
-        path, path_len, last_x, last_y, x, y, cfg.monotone_path
+        path, path_len, last_x, last_y, x, y, cfg.monotone_path, enable=enable
     )
 
     startup = t < cfg.c
@@ -142,9 +146,13 @@ def _set_direction(acc, t, j, run_count, previous, path, path_len, last_x, last_
     free_dir = jnp.where(x < t, COL, jnp.where(y < j, ROW, BOTH))
     d = jnp.where(startup, BOTH, jnp.where(forced, forced_dir, free_dir)).astype(jnp.int32)
 
-    run_count = jnp.where(d == previous, run_count + 1, 1).astype(jnp.int32)
-    previous = jnp.where(d != BOTH, d, previous).astype(jnp.int32)
-    return d, run_count, previous, path, path_len, last_x, last_y
+    rc_new = jnp.where(d == previous, run_count + 1, 1).astype(jnp.int32)
+    prev_new = jnp.where(d != BOTH, d, previous).astype(jnp.int32)
+    if enable is not None:
+        d = jnp.where(enable, d, old_direction).astype(jnp.int32)
+        rc_new = jnp.where(enable, rc_new, run_count).astype(jnp.int32)
+        prev_new = jnp.where(enable, prev_new, previous).astype(jnp.int32)
+    return d, rc_new, prev_new, path, path_len, last_x, last_y
 
 
 def _column_phase(state: OnlineState, ref, cfg: OnlineConfig, ref_len=None) -> OnlineState:
@@ -163,29 +171,17 @@ def _column_phase(state: OnlineState, ref, cfg: OnlineConfig, ref_len=None) -> O
         new_stop = do_col & (j_new >= n)
         do_eval = do_col & ~new_stop
 
-        acc = lax.cond(
-            do_eval,
-            lambda a: col_update(
-                a, st.live, ref, st.t, j_new, c=cfg.c, sentinel=cfg.sentinel, euclidean=cfg.euclidean, exact=cfg.exact_chain
-            ),
-            lambda a: a,
-            st.acc,
+        acc = col_update(
+            st.acc, st.live, ref, st.t, j_new,
+            c=cfg.c, sentinel=cfg.sentinel, euclidean=cfg.euclidean,
+            exact=cfg.exact_chain, enable=do_eval,
         )
         stopped = st.stopped | new_stop
 
         do_dir = active & ~new_stop
-
-        def dir_branch(args):
-            rc, prev, path, plen, lx, ly = args
-            return _set_direction(acc, st.t, j_new, rc, prev, path, plen, lx, ly, cfg)
-
-        def no_dir(args):
-            rc, prev, path, plen, lx, ly = args
-            return st.direction, rc, prev, path, plen, lx, ly
-
-        d, rc, prev, path, plen, lx, ly = lax.cond(
-            do_dir, dir_branch, no_dir,
-            (st.run_count, st.previous, st.path, st.path_len, st.last_x, st.last_y),
+        d, rc, prev, path, plen, lx, ly = _set_direction(
+            acc, st.t, j_new, st.run_count, st.previous, st.path, st.path_len,
+            st.last_x, st.last_y, cfg, enable=do_dir, old_direction=st.direction,
         )
         st = st._replace(
             acc=acc, j=j_new, direction=d, run_count=rc, previous=prev,
@@ -288,49 +284,46 @@ def set_live_scan_body(state: OnlineState, live_full, ref, cfg: OnlineConfig, li
     acc0 = eval_origin(state.acc, live0, ref, euclidean=cfg.euclidean)
     state = state._replace(live=live0, acc=acc0, first=jnp.bool_(False))
 
-    def step(st: OnlineState, _):
-        def body(s: OnlineState) -> OnlineState:
-            d, rc, prev, path, plen, lx, ly = _set_direction(
-                s.acc, s.t, s.j, s.run_count, s.previous, s.path, s.path_len,
-                s.last_x, s.last_y, cfg
-            )
-            s = s._replace(
-                direction=d, run_count=rc, previous=prev, path=path,
-                path_len=plen, last_x=lx, last_y=ly,
-            )
+    def step(s: OnlineState, _):
+        # everything is predicated by masking, never by lax.cond: conds that
+        # carry the dense acc matrix make XLA copy the whole buffer per step
+        live_on = ~s.stopped
 
-            # row step
-            do_row = d != COL
-            t_new = jnp.where(do_row, s.t + 1, s.t)
-            row_done = do_row & ((t_new >= t_live) | (t_new >= m))
+        d, rc, prev, path, plen, lx, ly = _set_direction(
+            s.acc, s.t, s.j, s.run_count, s.previous, s.path, s.path_len,
+            s.last_x, s.last_y, cfg, enable=live_on, old_direction=s.direction,
+        )
+        s = s._replace(
+            direction=d, run_count=rc, previous=prev, path=path,
+            path_len=plen, last_x=lx, last_y=ly,
+        )
 
-            def do_row_fn(s2: OnlineState) -> OnlineState:
-                live = lax.dynamic_update_slice(
-                    s2.live, lax.dynamic_slice(live_full, (_I0, t_new), (f, 1)), (_I0, t_new)
-                )
-                acc = row_update(
-                    s2.acc, live, ref, t_new, s2.j, c=cfg.c, sentinel=cfg.sentinel, euclidean=cfg.euclidean, exact=cfg.exact_chain
-                )
-                return s2._replace(live=live, acc=acc)
+        # row step
+        do_row = live_on & (d != COL)
+        t_new = jnp.where(do_row, s.t + 1, s.t)
+        row_done = do_row & ((t_new >= t_live) | (t_new >= m))
+        do_row_eval = do_row & ~row_done
 
-            s = lax.cond(do_row & ~row_done, do_row_fn, lambda x: x, s)
-            s = s._replace(t=t_new, stopped=s.stopped | row_done)
+        new_col = lax.dynamic_slice(live_full, (_I0, t_new), (f, 1))
+        old_col = lax.dynamic_slice(s.live, (_I0, t_new), (f, 1))
+        live = lax.dynamic_update_slice(
+            s.live, jnp.where(do_row_eval, new_col, old_col), (_I0, t_new)
+        )
+        acc = row_update(
+            s.acc, live, ref, t_new, s.j, c=cfg.c, sentinel=cfg.sentinel,
+            euclidean=cfg.euclidean, exact=cfg.exact_chain, enable=do_row_eval,
+        )
+        s = s._replace(live=live, acc=acc, t=t_new, stopped=s.stopped | row_done)
 
-            # column step (skipped if the row step broke out)
-            do_col = (d != ROW) & ~s.stopped
-            j_new = jnp.where(do_col, s.j + 1, s.j)
-            col_done = do_col & (j_new >= n)
-
-            def do_col_fn(s2: OnlineState) -> OnlineState:
-                acc = col_update(
-                    s2.acc, s2.live, ref, s2.t, j_new, c=cfg.c, sentinel=cfg.sentinel, euclidean=cfg.euclidean, exact=cfg.exact_chain
-                )
-                return s2._replace(acc=acc)
-
-            s = lax.cond(do_col & ~col_done, do_col_fn, lambda x: x, s)
-            return s._replace(j=j_new, stopped=s.stopped | col_done)
-
-        return lax.cond(st.stopped, lambda s: s, body, st), None
+        # column step (skipped if the row step broke out)
+        do_col = live_on & (d != ROW) & ~s.stopped
+        j_new = jnp.where(do_col, s.j + 1, s.j)
+        col_done = do_col & (j_new >= n)
+        acc = col_update(
+            s.acc, s.live, ref, s.t, j_new, c=cfg.c, sentinel=cfg.sentinel,
+            euclidean=cfg.euclidean, exact=cfg.exact_chain, enable=do_col & ~col_done,
+        )
+        return s._replace(acc=acc, j=j_new, stopped=s.stopped | col_done), None
 
     state, _ = lax.scan(step, state, None, length=live_full.shape[1] + ref.shape[1])
     return state

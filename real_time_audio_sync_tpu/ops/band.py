@@ -85,7 +85,7 @@ def _minplus_chain(b_win: jnp.ndarray, c_win: jnp.ndarray, r_init: jnp.ndarray, 
     return rs
 
 
-def row_update(acc, live, ref, t, j, *, c: int, sentinel: float, euclidean: bool, exact: bool = False):
+def row_update(acc, live, ref, t, j, *, c: int, sentinel: float, euclidean: bool, exact: bool = False, enable=None):
     """Evaluate row band ``(t, [max(0, j−c+1) .. j])`` (otw_eran.py:58-62).
 
     Row ``t`` is fresh (never written before), so the left neighbour of the
@@ -114,11 +114,16 @@ def row_update(acc, live, ref, t, j, *, c: int, sentinel: float, euclidean: bool
 
     idx = s + jnp.arange(c)
     old_win = lax.dynamic_slice(acc, (t, s), (1, c))[0]
-    new_win = jnp.where(idx <= j, chain, old_win)
+    mask = idx <= j
+    if enable is not None:
+        # predication by masking instead of lax.cond: a cond carrying the
+        # dense acc matrix makes XLA copy the whole buffer per step
+        mask = mask & enable
+    new_win = jnp.where(mask, chain, old_win)
     return lax.dynamic_update_slice(acc, new_win[None, :], (t, s))
 
 
-def col_update(acc, live, ref, t, j, *, c: int, sentinel: float, euclidean: bool, exact: bool = False):
+def col_update(acc, live, ref, t, j, *, c: int, sentinel: float, euclidean: bool, exact: bool = False, enable=None):
     """Evaluate column band ``([max(0, t−c+1) .. t], j)`` (otw_eran.py:73-77).
 
     Column ``j`` is fresh; cells of column ``j−1`` are read whether or not
@@ -142,7 +147,10 @@ def col_update(acc, live, ref, t, j, *, c: int, sentinel: float, euclidean: bool
 
     idx = s + jnp.arange(c)
     old_win = lax.dynamic_slice(acc, (s, j), (c, 1))[:, 0]
-    new_win = jnp.where(idx <= t, chain, old_win)
+    mask = idx <= t
+    if enable is not None:
+        mask = mask & enable
+    new_win = jnp.where(mask, chain, old_win)
     return lax.dynamic_update_slice(acc, new_win[:, None], (s, j))
 
 
