@@ -155,7 +155,7 @@ def _set_direction(acc, t, j, run_count, previous, path, path_len, last_x, last_
     return d, rc_new, prev_new, path, path_len, last_x, last_y
 
 
-def _column_phase(state: OnlineState, ref, cfg: OnlineConfig, ref_len=None) -> OnlineState:
+def _column_phase(state: OnlineState, ref, cfg: OnlineConfig, ref_len=None, active_init=None) -> OnlineState:
     """The reference's inner while-loop (otw_eran.py:64-85) as a bounded
     ``lax.while_loop``: the slope constraint caps consecutive Column
     directions at max_run_count, so the loop terminates within ``loop_iters``
@@ -198,8 +198,9 @@ def _column_phase(state: OnlineState, ref, cfg: OnlineConfig, ref_len=None) -> O
         st, active = iteration(st, active)
         return st, active, iters + 1
 
+    active0 = ~state.stopped if active_init is None else active_init
     state, active, _ = lax.while_loop(
-        loop_cond, loop_body, (state, ~state.stopped, jnp.int32(0))
+        loop_cond, loop_body, (state, active0, jnp.int32(0))
     )
     return state._replace(overflow=state.overflow | active)
 
@@ -208,40 +209,51 @@ def _insert_body(state: OnlineState, col, ref, cfg: OnlineConfig, ref_len=None, 
     """One streaming insert (otw_eran.py:38-85 / livenote.py:37-98).
 
     ``ref_len``/``live_cap`` override the shape-derived sequence bounds for
-    zero-padded batched serving (parallel/serving.py)."""
+    zero-padded batched serving (parallel/serving.py).
+
+    All effects are predicated by masking rather than lax.cond — a cond
+    carrying the dense acc matrix makes XLA copy the whole buffer per call,
+    which dominates block/batched streaming.  After "stop" every effect is
+    masked off (the reference's caller must cease calling insert or it reads
+    out of bounds; we freeze instead — a deliberate, graceful deviation).
+    """
     f, m = state.live.shape
     cap = jnp.int32(m) if live_cap is None else live_cap
+    st = state
 
-    def when_first(st: OnlineState) -> OnlineState:
-        live = lax.dynamic_update_slice(st.live, col[:, None], (_I0, _I0))
-        acc = eval_origin(st.acc, live, ref, euclidean=cfg.euclidean)
-        return st._replace(live=live, acc=acc, first=jnp.bool_(False))
+    alive = ~st.stopped
+    is_first = alive & st.first
+    is_normal = alive & ~st.first
 
-    def when_normal(st: OnlineState) -> OnlineState:
-        t = st.t + 1
+    # --- first insert: fill live[:, 0], evaluate the origin cell
+    old_col0 = lax.dynamic_slice(st.live, (_I0, _I0), (f, 1))
+    live = lax.dynamic_update_slice(
+        st.live, jnp.where(is_first, col[:, None], old_col0), (_I0, _I0)
+    )
+    if cfg.euclidean:
+        d0 = live[:, 0] - ref[:, 0]
+        c00 = jnp.sqrt(jnp.sum(d0 * d0))
+    else:
+        c00 = 1.0 - live[:, 0] @ ref[:, 0]
+    acc = st.acc.at[0, 0].set(jnp.where(is_first, c00.astype(st.acc.dtype), st.acc[0, 0]))
+    st = st._replace(live=live, acc=acc, first=st.first & ~is_first)
 
-        def oob(s: OnlineState) -> OnlineState:
-            # "Ran out of room in pre-allocated live-sequence": the reference
-            # keeps incrementing t and does nothing else (otw_eran.py:50-54)
-            return s._replace(t=t)
+    # --- normal insert: advance t; "ran out of room" keeps incrementing t
+    # and does nothing else (otw_eran.py:50-54)
+    t_new = jnp.where(is_normal, st.t + 1, st.t)
+    do_row = is_normal & (t_new < cap)
 
-        def run(s: OnlineState) -> OnlineState:
-            live = lax.dynamic_update_slice(s.live, col[:, None], (_I0, t))
-            acc = row_update(
-                s.acc, live, ref, t, s.j, c=cfg.c, sentinel=cfg.sentinel, euclidean=cfg.euclidean, exact=cfg.exact_chain
-            )
-            s = s._replace(live=live, acc=acc, t=t)
-            return _column_phase(s, ref, cfg, ref_len)
+    old_colt = lax.dynamic_slice(st.live, (_I0, t_new), (f, 1))
+    live = lax.dynamic_update_slice(
+        st.live, jnp.where(do_row, col[:, None], old_colt), (_I0, t_new)
+    )
+    acc = row_update(
+        st.acc, live, ref, t_new, st.j, c=cfg.c, sentinel=cfg.sentinel,
+        euclidean=cfg.euclidean, exact=cfg.exact_chain, enable=do_row,
+    )
+    st = st._replace(live=live, acc=acc, t=t_new)
 
-        return lax.cond(t >= cap, oob, run, st)
-
-    def when_active(st: OnlineState) -> OnlineState:
-        return lax.cond(st.first, when_first, when_normal, st)
-
-    # After "stop" the reference's caller must cease calling insert (another
-    # call would read out of bounds); we freeze instead — a deliberate,
-    # graceful deviation.
-    return lax.cond(state.stopped, lambda s: s, when_active, state)
+    return _column_phase(st, ref, cfg, ref_len, active_init=do_row)
 
 
 insert_step = partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))(_insert_body)
