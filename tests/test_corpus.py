@@ -78,3 +78,20 @@ def test_cli_unknown_engine(chopin_pair):
     ref_wav, live_wav = chopin_pair
     with pytest.raises(ValueError):
         main(["--ref", ref_wav, "--live", live_wav, "--engine", "nope"])
+
+
+def test_heatmap_example_runs(chopin_pair, tmp_path):
+    """The notebook-equivalent example renders end-to-end (C18 parity)."""
+    import subprocess
+    import sys
+
+    ref_wav, live_wav = chopin_pair
+    out = tmp_path / "overlay.png"
+    proc = subprocess.run(
+        [sys.executable, "examples/heatmap_overlay.py", "--ref", ref_wav,
+         "--live", live_wav, "--out", str(out)],
+        capture_output=True, text=True, timeout=600,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu", "RTAS_NO_COMPILE_CACHE": "1"},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert out.exists() and out.stat().st_size > 10_000
