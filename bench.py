@@ -3,21 +3,31 @@
 Measures, on the real audio shipped with the reference corpus (the Chopin
 20-bar pair — the only wavs present in the mount):
 
-1. **streaming_otw_rtf** (the ONE reported JSON line): real-time factor of
-   the full Dixon-2005 online recurrence — every row/column band update,
-   direction decision and path commit of the reference algorithm — executed
-   on-device as the jitted set_live scan.  This is the engine's sustainable
-   streaming throughput (audio-seconds aligned per wall-second).
-2. diagnostics (stderr): per-insert dispatch latency of the one-frame
-   streaming path and the amortized per-frame latency of block streaming.
-   On this container's tunneled TPU each dispatch pays a ~30-50 ms relay
-   round-trip (see .claude/skills/verify/SKILL.md); the on-device per-frame
-   cost is the scan rate above.
+1. **streaming_otw_rtf** (the ONE reported JSON line): wall-clock real-time
+   factor of pipelined streaming — the full Dixon-2005 online recurrence
+   (every row/column band update, direction decision and path commit of
+   otw_eran.py:38-85) with one asynchronous device dispatch per 8-frame hop
+   window (issued while audio for the next window would accumulate, i.e.
+   VERDICT round-1 item 1b), never synchronizing on the device inside the
+   stream.  "stop" and score position are polled from a 16-byte status
+   vector.  The committed path is identical to synchronous per-frame insert
+   (tests/test_online.py::test_pipelined_inserts_match_sync).
+2. diagnostics (stderr):
+   - per-FRAME pipelined streaming (one dispatch per frame, zero added
+     buffering latency) — also clears the ≥100× target;
+   - on-device per-insert cost isolated from relay overhead via block-size
+     timing deltas (substantiates the <1 ms p50 target);
+   - idle-device insert latency (dominated by the ~27 ms relay round-trip
+     of this container's tunneled TPU; on directly-attached hardware the
+     same dispatch+step is the on-device cost below);
+   - set_live scan / batched-corpus throughput;
+   - beat-accuracy of each engine on the pair vs the recorded field-test
+     regime (0-4% >1 beat, reference logs cited in BASELINE.md).
 
 ``vs_baseline`` compares against the reference implementation's measured
 throughput: the same recurrence run by a faithful numpy/python transcription
-(tests/oracle.py) on this host — the reference repo publishes no numbers
-(BASELINE.md), so its own code IS the baseline.
+(tests/oracle.py) streaming frame-by-frame on this host — the reference repo
+publishes no numbers (BASELINE.md), so its own code IS the baseline.
 """
 
 from __future__ import annotations
@@ -32,6 +42,7 @@ REF_WAV = "/root/reference/Songs/chopin/chopin_rubinstein_20b.wav"
 LIVE_WAV = "/root/reference/Songs/chopin/chopin_rachmaninoff_20b.wav"
 PARAMS = {"c": 50, "max_run_count": 3}  # livenote_live.py:94
 HOP_SEC = 2048 / 22050.0
+HOP_FRAMES = 8  # frames per pipelined dispatch (0.74 s of audio per window)
 
 
 def log(msg):
@@ -47,69 +58,102 @@ def main() -> int:
     log(f"devices: {jax.devices()}")
 
     ref = np.asarray(rtas.wav_to_chroma(REF_WAV))
-    live = np.asarray(rtas.wav_to_chroma(LIVE_WAV))
+    live = np.asarray(rtas.wav_to_chroma(LIVE_WAV)).astype(np.float32)
     n_frames = live.shape[1]
     audio_sec = n_frames * HOP_SEC
     log(f"pair: ref {ref.shape[1]} frames, live {n_frames} frames ({audio_sec:.1f} s of audio)")
 
-    # --- 1. on-device streaming recurrence throughput (set_live scan)
+    # --- 1. HEADLINE: pipelined block streaming (async dispatch per hop window)
+    def run_block_stream():
+        eng = OnlineTimeWarping(ref, PARAMS)
+        t0 = time.perf_counter()
+        for s in range(0, n_frames, HOP_FRAMES):
+            if eng.insert_block_nowait(live[:, s : s + HOP_FRAMES]) == "stop":
+                break
+        eng.flush()
+        return time.perf_counter() - t0, eng
+
+    run_block_stream()  # compile (two block shapes: full + ragged tail)
+    block_wall, block_eng = min((run_block_stream() for _ in range(3)), key=lambda x: x[0])
+    rtf = audio_sec / block_wall
+    log(f"pipelined block streaming ({HOP_FRAMES} frames/dispatch): "
+        f"{block_wall/n_frames*1e3:.3f} ms/frame -> RTF {rtf:.0f}x")
+
+    # --- 2. per-FRAME pipelined streaming (zero added buffering latency)
+    def run_frame_stream():
+        eng = OnlineTimeWarping(ref, PARAMS)
+        t0 = time.perf_counter()
+        for i in range(n_frames):
+            if eng.insert_nowait(live[:, i]) == "stop":
+                break
+        eng.flush()
+        return time.perf_counter() - t0, eng
+
+    run_frame_stream()  # compile
+    frame_wall, frame_eng = min((run_frame_stream() for _ in range(2)), key=lambda x: x[0])
+    frame_rtf = audio_sec / frame_wall
+    log(f"per-frame pipelined streaming: {frame_wall/n_frames*1e3:.3f} ms/frame -> RTF {frame_rtf:.0f}x")
+    assert [tuple(p) for p in frame_eng.path] == [tuple(p) for p in block_eng.path]
+
+    # --- 3. on-device per-insert cost, isolated from relay overhead:
+    # median wall time of a K-insert block program minus a 1-insert block,
+    # divided by K-1 (the per-dispatch relay cost cancels)
+    def time_block(k, reps=8):
+        cols = np.ascontiguousarray(live[:, :k])
+        ts = []
+        for _ in range(reps):
+            eng = OnlineTimeWarping(ref, PARAMS)
+            t0 = time.perf_counter()
+            eng.insert_block(cols)
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    time_block(1, reps=1)  # compile
+    time_block(128, reps=1)  # compile
+    t1, t128 = time_block(1), time_block(128)
+    on_device_us = (t128 - t1) / 127 * 1e6
+    log(f"on-device per-insert cost: {on_device_us:.0f} us "
+        f"(K=1 block {t1*1e3:.1f} ms, K=128 block {t128*1e3:.1f} ms; p50 target <1 ms)")
+
+    # --- 4. idle-device per-insert latency (includes the relay round-trip)
+    eng = OnlineTimeWarping(ref, PARAMS)
+    eng.insert(live[:, 0])
+    lat = []
+    for i in range(1, min(21, n_frames)):
+        time.sleep(0.05)  # idle device, as in real-time arrival
+        t0 = time.perf_counter()
+        eng.insert(live[:, i])  # synchronous: dispatch + status read-back
+        lat.append(time.perf_counter() - t0)
+    lat_ms = np.asarray(lat) * 1e3
+    log(f"idle-device synchronous insert (dispatch + status read): "
+        f"p50 {np.percentile(lat_ms, 50):.2f} ms, p99 {np.percentile(lat_ms, 99):.2f} ms "
+        f"(relay round-trip dominated; hop budget 92.9 ms)")
+
+    # --- 5. on-device set_live scan (whole alignment in one dispatch)
     def run_scan():
         eng = OnlineTimeWarping(ref, PARAMS)
         t0 = time.perf_counter()
         eng.set_live(live)
-        return time.perf_counter() - t0, eng
+        return time.perf_counter() - t0
 
-    warm_t, _ = run_scan()  # includes compile on a cold cache
-    times = []
-    for _ in range(3):
-        t, eng = run_scan()
-        times.append(t)
-    scan_wall = min(times)
-    rtf = audio_sec / scan_wall
-    log(f"set_live scan: warm {scan_wall*1e3:.1f} ms (first {warm_t:.1f} s) -> RTF {rtf:.0f}x, "
-        f"{scan_wall/n_frames*1e6:.0f} us/frame on-device")
+    run_scan()  # compile
+    scan_wall = min(run_scan() for _ in range(3))
+    log(f"set_live scan: {scan_wall*1e3:.1f} ms -> RTF {audio_sec/scan_wall:.0f}x, "
+        f"{scan_wall/n_frames*1e6:.0f} us/frame")
 
-    # --- 2. per-insert dispatch latency (streaming mode, includes relay RTT)
-    eng = OnlineTimeWarping(ref, PARAMS)
-    eng.insert(live[:, 0])
-    lat = []
-    for i in range(1, min(41, n_frames)):
-        t0 = time.perf_counter()
-        eng.insert(live[:, i])
-        lat.append(time.perf_counter() - t0)
-    lat_ms = np.asarray(lat) * 1e3
-    log(f"per-insert streaming: p50 {np.percentile(lat_ms, 50):.2f} ms, "
-        f"p99 {np.percentile(lat_ms, 99):.2f} ms over {len(lat)} inserts")
-
-    # --- 3. block streaming (one dispatch per 32 frames)
-    eng = OnlineTimeWarping(ref, PARAMS)
-    eng.insert_block(live[:, :32])  # compile
-    eng2 = OnlineTimeWarping(ref, PARAMS)
-    t0 = time.perf_counter()
-    nb = 0
-    for s in range(0, n_frames, 32):
-        if eng2.insert_block(live[:, s : s + 32]) == "stop":
-            break
-        nb += 1
-    block_wall = time.perf_counter() - t0
-    done_frames = min(n_frames, (nb + 1) * 32)
-    log(f"block streaming (32 frames/dispatch): {block_wall/done_frames*1e3:.2f} ms/frame amortized, "
-        f"RTF {done_frames*HOP_SEC/block_wall:.0f}x")
-
-    # --- 3b. batched corpus alignment (BASELINE.json config 5): vmapped
-    # online-DTW over B pair-copies on the one chip
+    # --- 5b. batched corpus alignment (BASELINE.json config 5)
     from real_time_audio_sync_tpu.parallel import batched_set_live, pad_pairs
 
     B = 16
     r_b, l_b, rl_b, ll_b = pad_pairs([ref] * B, [live] * B)
     batched_set_live(r_b, l_b, rl_b, ll_b, PARAMS)  # compile
     t0 = time.perf_counter()
-    paths, _ = batched_set_live(r_b, l_b, rl_b, ll_b, PARAMS)
+    batched_set_live(r_b, l_b, rl_b, ll_b, PARAMS)
     batch_wall = time.perf_counter() - t0
     log(f"batched corpus (B={B}, one chip): {batch_wall*1e3:.1f} ms total -> "
         f"aggregate RTF {B*audio_sec/batch_wall:.0f}x ({batch_wall/B/n_frames*1e6:.0f} us/frame/stream)")
 
-    # --- 4. reference-implementation baseline on this host (numpy oracle)
+    # --- 6. reference-implementation baseline on this host (numpy oracle)
     vs_baseline = None
     try:
         sys.path.insert(0, ".")
@@ -124,12 +168,32 @@ def main() -> int:
         py_wall = time.perf_counter() - t0
         py_rtf = audio_sec / py_wall
         vs_baseline = rtf / py_rtf
-        log(f"reference-equivalent python: {py_wall:.2f} s -> RTF {py_rtf:.0f}x; ours/reference = {vs_baseline:.1f}x")
+        log(f"reference-equivalent python streaming: {py_wall:.2f} s -> RTF {py_rtf:.0f}x; "
+            f"ours/reference = {vs_baseline:.1f}x (per-frame mode: {frame_rtf/py_rtf:.1f}x)")
     except Exception as e:  # oracle unavailable — baseline is 1x real time
         log(f"python baseline unavailable ({e}); vs_baseline = RTF vs 1x real-time")
         vs_baseline = rtf
 
-    # --- 4b. production scale: a ~3-minute piece (5x-tiled pair)
+    # --- 7. accuracy on the pair (field-test regime: 0-4% >1 beat, 0% >3;
+    # see BASELINE.md) — regressions must be visible here, not only in tests
+    try:
+        from real_time_audio_sync_tpu.eval import PathScorer
+        from real_time_audio_sync_tpu.models import DTW, LiveNoteV2
+
+        scorer = PathScorer.for_pair(REF_WAV, LIVE_WAV)
+        s = scorer.score(block_eng.path)
+        log(f"accuracy OTW (streamed): >1 beat {s.pct_off_beats[1]:.2f}%, >3 beats {s.pct_off_beats[3]:.2f}%")
+        v2 = LiveNoteV2(ref, {"search_band_width": 50, "max_run_count": 3})
+        v2.set_live(live)
+        s = scorer.score(v2.path)
+        log(f"accuracy LiveNoteV2 (set_live): >1 beat {s.pct_off_beats[1]:.2f}%, >3 beats {s.pct_off_beats[3]:.2f}%")
+        _, _, dpath = DTW(live, ref)
+        s = scorer.score([(int(a), int(b)) for a, b in dpath])
+        log(f"accuracy offline DTW: >1 beat {s.pct_off_beats[1]:.2f}%, >3 beats {s.pct_off_beats[3]:.2f}%")
+    except Exception as e:
+        log(f"accuracy diagnostics skipped ({e})")
+
+    # --- 8. production scale: a ~3-minute piece (5x-tiled pair)
     try:
         ref5 = np.tile(ref, (1, 5))
         live5 = np.tile(live, (1, 5))
@@ -145,7 +209,7 @@ def main() -> int:
     except Exception as e:
         log(f"3-minute diagnostic skipped ({e})")
 
-    # --- 5. wide-band robustness config: per-step cost is O(c) in Python
+    # --- 9. wide-band robustness config: per-step cost is O(c) in Python
     # but flat on the vector unit
     try:
         wide = {"c": 200, "max_run_count": 3}

@@ -40,7 +40,7 @@ from real_time_audio_sync_tpu.ops.band import _I0
 from real_time_audio_sync_tpu.ops.band import (
     band_argmin,
     col_update,
-    eval_origin,
+    eval_cell,
     row_update,
 )
 
@@ -155,14 +155,23 @@ def _set_direction(acc, t, j, run_count, previous, path, path_len, last_x, last_
     return d, rc_new, prev_new, path, path_len, last_x, last_y
 
 
-def _column_phase(state: OnlineState, ref, cfg: OnlineConfig, ref_len=None, active_init=None) -> OnlineState:
+def _column_phase(state: OnlineState, ref, cfg: OnlineConfig, ref_len=None, active_init=None, unroll: bool = False) -> OnlineState:
     """The reference's inner while-loop (otw_eran.py:64-85) as a bounded
-    ``lax.while_loop``: the slope constraint caps consecutive Column
-    directions at max_run_count, so the loop terminates within ``loop_iters``
-    iterations by construction (an explicit counter enforces the bound and
-    flags ``overflow`` if ever hit).  A while_loop keeps the compiled program
-    small — one body instance instead of ``loop_iters`` inlined copies, which
-    matters enormously for remote-compile time on the target platform."""
+    loop: the slope constraint caps consecutive Column directions at
+    max_run_count, so the loop terminates within ``loop_iters`` iterations by
+    construction (an explicit counter enforces the bound and flags
+    ``overflow`` if ever hit).
+
+    ``unroll=False``: a ``lax.while_loop`` — one body instance, small
+    program, and early exit saves device work per step.  Used by the block/
+    scan modes where the body runs thousands of times per dispatch.
+
+    ``unroll=True``: ``loop_iters`` statically inlined, masked copies — no
+    while_loop in the program.  Used by the per-frame ``insert_step``: on the
+    tunneled-TPU platform a program containing a while_loop carries ~0.2 ms
+    of extra per-dispatch overhead, which dominates the sub-ms frame budget
+    (masked no-op iterations are equivalent to the while_loop's early exit,
+    so results are identical — covered by the parity tests)."""
     n = jnp.int32(ref.shape[1]) if ref_len is None else ref_len
 
     def iteration(st: OnlineState, active):
@@ -199,13 +208,18 @@ def _column_phase(state: OnlineState, ref, cfg: OnlineConfig, ref_len=None, acti
         return st, active, iters + 1
 
     active0 = ~state.stopped if active_init is None else active_init
-    state, active, _ = lax.while_loop(
-        loop_cond, loop_body, (state, active0, jnp.int32(0))
-    )
+    if unroll:
+        active = active0
+        for _ in range(cfg.loop_iters):
+            state, active = iteration(state, active)
+    else:
+        state, active, _ = lax.while_loop(
+            loop_cond, loop_body, (state, active0, jnp.int32(0))
+        )
     return state._replace(overflow=state.overflow | active)
 
 
-def _insert_body(state: OnlineState, col, ref, cfg: OnlineConfig, ref_len=None, live_cap=None) -> OnlineState:
+def _insert_body(state: OnlineState, col, ref, cfg: OnlineConfig, ref_len=None, live_cap=None, unroll: bool = False) -> OnlineState:
     """One streaming insert (otw_eran.py:38-85 / livenote.py:37-98).
 
     ``ref_len``/``live_cap`` override the shape-derived sequence bounds for
@@ -253,31 +267,58 @@ def _insert_body(state: OnlineState, col, ref, cfg: OnlineConfig, ref_len=None, 
     )
     st = st._replace(live=live, acc=acc, t=t_new)
 
-    return _column_phase(st, ref, cfg, ref_len, active_init=do_row)
+    return _column_phase(st, ref, cfg, ref_len, active_init=do_row, unroll=unroll)
 
 
-insert_step = partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))(_insert_body)
+def _status_vec(st: OnlineState) -> jnp.ndarray:
+    """Compact int32[4] status: ``[stopped | overflow<<1, path_len, last_x,
+    last_y]``.  Returned as a *separate, non-donated* output of every insert
+    program so the host can (a) detect "stop" and (b) report the current
+    score position (== ``path[-1]``, otw_eran.py:158-160) with one tiny
+    device→host read — without ever synchronizing on the donated state.
+    On tunneled-TPU platforms any D2H read costs a full relay round-trip
+    (~27 ms here), so streaming mode reads this vector lazily/rarely instead
+    of blocking per insert."""
+    return jnp.stack(
+        [
+            st.stopped.astype(jnp.int32) | (st.overflow.astype(jnp.int32) << 1),
+            st.path_len,
+            st.last_x,
+            st.last_y,
+        ]
+    )
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
-def insert_block(state: OnlineState, cols, ref, cfg: OnlineConfig) -> OnlineState:
+def insert_step(state: OnlineState, col, ref, cfg: OnlineConfig):
+    """One streaming insert; returns ``(state, status_vec)``.
+
+    Compiled with the unrolled column phase — no while_loop in the program —
+    which shaves ~0.2 ms of per-dispatch overhead on the tunneled platform
+    (the difference between ~134× and ~193× per-frame streaming RTF)."""
+    st = _insert_body(state, col, ref, cfg, unroll=True)
+    return st, _status_vec(st)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def insert_block(state: OnlineState, cols, ref, cfg: OnlineConfig):
     """Insert a block of feature columns in ONE device dispatch: a
     ``lax.scan`` of the exact single-insert body over ``cols`` (F, K).
 
     Semantically identical to K successive ``insert_step`` calls (inserts
     after "stop" freeze), but amortizes per-dispatch overhead — on the
-    tunneled-TPU platform a dispatch costs ~30-50 ms while one on-device
-    insert costs ~40 µs, so block streaming is what makes ≥100× real-time
-    streaming reachable there."""
+    tunneled-TPU platform each dispatched program carries ~0.5 ms of
+    device-side launch overhead while one on-device insert costs ~27 µs,
+    so small blocks (K≈8) push streaming well past real time."""
 
     def step(st, col):
         return _insert_body(st, col, ref, cfg), None
 
     state, _ = lax.scan(step, state, jnp.transpose(cols))
-    return state
+    return state, _status_vec(state)
 
 
-def set_live_scan_body(state: OnlineState, live_full, ref, cfg: OnlineConfig, live_len=None, ref_len=None) -> OnlineState:
+def set_live_scan_body(state: OnlineState, live_full, ref, cfg: OnlineConfig, live_len=None, ref_len=None, reset: bool = False) -> OnlineState:
     """Batch alignment (otw_eran.py:91-142 / livenote.py:102-149) as one
     ``lax.scan`` — the whole alignment runs on-device in a single dispatch.
 
@@ -285,6 +326,13 @@ def set_live_scan_body(state: OnlineState, live_full, ref, cfg: OnlineConfig, li
     direction decision first (appending a path point), then predicated row
     and/or column band updates.  Loop count is bounded by T_live + N since
     every live iteration advances t and/or j.
+
+    ``reset=True`` replays OnlineTimeWarping.set_live's state reset
+    (otw_eran.py:92-97): pointers, direction state and path restart, while
+    the dense cost matrices and live buffer keep their streamed contents —
+    exactly the reference's behaviour when set_live follows inserts.
+    LiveNote's set_live (livenote.py:102) does NOT reset and continues from
+    the current ``(t, j)`` frontier, which the generic prologue below covers.
     """
     f, m = state.live.shape
     # true sequence lengths may be traced (padded batch mode); they default
@@ -292,8 +340,25 @@ def set_live_scan_body(state: OnlineState, live_full, ref, cfg: OnlineConfig, li
     n = jnp.int32(ref.shape[1]) if ref_len is None else ref_len
     t_live = jnp.int32(live_full.shape[1]) if live_len is None else live_len
 
-    live0 = lax.dynamic_update_slice(state.live, live_full[:, 0:1], (_I0, _I0))
-    acc0 = eval_origin(state.acc, live0, ref, euclidean=cfg.euclidean)
+    if reset:
+        state = state._replace(
+            t=jnp.int32(0),
+            j=jnp.int32(0),
+            direction=jnp.int32(BOTH),
+            previous=jnp.int32(PREV_NONE),
+            run_count=jnp.int32(cfg.run_count_init),
+            path_len=jnp.int32(0),
+            last_x=jnp.int32(-1),
+            last_y=jnp.int32(-1),
+            stopped=jnp.bool_(False),
+        )
+
+    # prologue: fill_input + eval_path_cost(t, j) (otw_eran.py:99-100,
+    # livenote.py:103-108) — the origin cell on a fresh state, the current
+    # frontier cell when continuing after streaming inserts
+    new_col = lax.dynamic_slice(live_full, (_I0, state.t), (f, 1))
+    live0 = lax.dynamic_update_slice(state.live, new_col, (_I0, state.t))
+    acc0 = eval_cell(state.acc, live0, ref, state.t, state.j, euclidean=cfg.euclidean)
     state = state._replace(live=live0, acc=acc0, first=jnp.bool_(False))
 
     def step(s: OnlineState, _):
@@ -341,9 +406,9 @@ def set_live_scan_body(state: OnlineState, live_full, ref, cfg: OnlineConfig, li
     return state
 
 
-set_live_scan = partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))(
-    set_live_scan_body
-)
+set_live_scan = partial(
+    jax.jit, static_argnames=("cfg", "reset"), donate_argnames=("state",)
+)(set_live_scan_body)
 
 
 # ---------------------------------------------------------------------------
@@ -355,8 +420,12 @@ class BandedOnlineEngine:
     """Host wrapper: owns the device state, streams frames through the jitted
     step, exposes the reference attribute surface (.path, .acc_cost, ...)."""
 
-    def __init__(self, ref, params, cfg_overrides: dict, dtype=None, exact_chain=False):
+    def __init__(self, ref, params, cfg_overrides: dict, dtype=None, exact_chain=False, reset_on_set_live=False):
         p = OTWParams.from_any(params)
+        # OnlineTimeWarping.set_live resets pointers/direction/path
+        # (otw_eran.py:92-97); LiveNote's continues from the current state
+        # (livenote.py:102-108)
+        self.reset_on_set_live = bool(reset_on_set_live)
         dtype = np.dtype(dtype or np.float32)
         self.dtype = dtype
         self.params = p
@@ -374,39 +443,127 @@ class BandedOnlineEngine:
         self.ref = jax.device_put(jnp.asarray(ref, dtype))
         self.state = init_state(self.ref, self.cfg, dtype)
         self._batch_mode = False
+        # pipelined-streaming bookkeeping: the newest status vector ("stop"
+        # is sticky, so only the latest one matters) and the cached verdict
+        self._status = None  # newest un-read status vector (device array)
+        self._stopped_cached = False
+        self._last_point = None  # (path_len, x, y) from the last status read
 
     # -- reference API surface ---------------------------------------------
 
     def insert(self, live_col):
         """Insert one feature column; returns ``"stop"`` when the reference
-        sequence is exhausted (otw_eran.py:69-71), else None."""
+        sequence is exhausted (otw_eran.py:69-71), else None.
+
+        This is the synchronous form: it reads the status vector back every
+        call, which on tunneled-TPU platforms costs a relay round-trip.  For
+        sustained real-time streaming use :meth:`insert_nowait` + :meth:`poll`.
+        """
         # Pass host data straight into the jitted call: jit's argument
         # transfer path is ~3 orders of magnitude faster than an explicit
         # device_put on tunneled-TPU setups.
         col = np.ascontiguousarray(live_col, self.dtype)
-        self.state = insert_step(self.state, col, self.ref, self.cfg)
-        if bool(self.state.stopped):
-            return "stop"
-        if bool(self.state.overflow):  # pragma: no cover - design invariant
-            raise AssertionError("column-phase loop bound violated")
-        return None
+        self.state, status = insert_step(self.state, col, self.ref, self.cfg)
+        return self._read_status(status)
 
     def insert_block(self, cols):
         """Insert K feature columns (F, K) in one device dispatch —
         semantically identical to K ``insert`` calls; returns ``"stop"`` if
         the reference sequence was exhausted anywhere in the block."""
+        self.state, status = self._dispatch_block(cols)
+        return self._read_status(status)
+
+    # -- pipelined streaming (dispatch without synchronizing) ----------------
+
+    def insert_nowait(self, live_col):
+        """Dispatch one insert WITHOUT waiting for the device.
+
+        JAX dispatch is asynchronous, so the host can run many frames ahead
+        of the device; the per-call cost is the dispatch itself (~0.2 ms on
+        the tunneled platform vs ~30 ms for a synchronizing insert).  "stop"
+        is detected lazily — this returns ``"stop"`` as soon as a previously
+        *polled* status showed it, which may be a few frames after the exact
+        insert that exhausted the reference.  Because post-stop inserts are
+        frozen no-ops (see ``_insert_body``), the committed path is identical
+        to the synchronous form's; only the return-value timing differs
+        (documented deviation, docs/PARITY.md).
+        """
+        # harvest the previous status first if it completed by now
+        if self._stopped_cached or self.poll() == "stop":
+            return "stop"
+        col = np.ascontiguousarray(live_col, self.dtype)
+        self.state, self._status = insert_step(self.state, col, self.ref, self.cfg)
+        return None
+
+    def insert_block_nowait(self, cols):
+        """Dispatch a (F, K) block without waiting; see :meth:`insert_nowait`."""
+        if self._stopped_cached or self.poll() == "stop":
+            return "stop"
+        self.state, self._status = self._dispatch_block(cols)
+        return None
+
+    def poll(self, block: bool = False):
+        """Check the newest status vector; returns ``"stop"`` or None.
+
+        Non-blocking by default: the vector is read only if the device has
+        already produced it (``is_ready``, a ~30 µs check on the tunneled
+        platform; the read itself is a ~27 ms round-trip, so real-time
+        callers poll once per hop where the budget is 92.9 ms).  With
+        ``block=True`` waits for the in-flight work and gives the definitive
+        answer."""
+        if self._stopped_cached:
+            return "stop"
+        if self._status is None:
+            return None
+        if not block and not self._status.is_ready():
+            return None
+        return self._consume_status(np.asarray(self._status))
+
+    def flush(self):
+        """Wait for all in-flight inserts; returns ``"stop"`` or None."""
+        return self.poll(block=True)
+
+    def _dispatch_block(self, cols):
         cols = np.ascontiguousarray(cols, self.dtype)
         if cols.ndim != 2:
             raise ValueError("insert_block expects a (F, K) column block")
-        self.state = insert_block(self.state, cols, self.ref, self.cfg)
-        if bool(self.state.stopped):
+        return insert_block(self.state, cols, self.ref, self.cfg)
+
+    def _read_status(self, status):
+        return self._consume_status(np.asarray(status))
+
+    def _consume_status(self, vec):
+        self._status = None
+        flags = int(vec[0])
+        self._last_point = (int(vec[1]), int(vec[2]), int(vec[3]))
+        if flags & 2:  # pragma: no cover - design invariant
+            raise AssertionError("column-phase loop bound violated")
+        if flags & 1:
+            self._stopped_cached = True
             return "stop"
         return None
 
+    @property
+    def last_point(self):
+        """(path_len, live, ref) from the most recent status read — the
+        current score position (== path[-1]) without fetching the path."""
+        return self._last_point
+
     def set_live(self, live):
-        """Batch mode: align a full live sequence in one device dispatch."""
+        """Batch mode: align a full live sequence in one device dispatch.
+
+        For OnlineTimeWarping this replays the reference's state reset
+        (otw_eran.py:92-97) so set_live after streaming inserts restarts the
+        alignment; LiveNote/V2 continue from the current frontier
+        (livenote.py:102-108)."""
         live = np.ascontiguousarray(live, self.dtype)
-        self.state = set_live_scan(self.state, live, self.ref, self.cfg)
+        self.state = set_live_scan(
+            self.state, live, self.ref, self.cfg, reset=self.reset_on_set_live
+        )
+        if self.reset_on_set_live:
+            self._stopped_cached = False
+        self._status = None
+        self._last_point = None
         self._batch_mode = True
         return self.path
 

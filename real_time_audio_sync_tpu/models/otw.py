@@ -24,6 +24,7 @@ class OnlineTimeWarping(BandedOnlineEngine):
             dict(sentinel=1e10, run_count_init=1, monotone_path=False, euclidean=False),
             dtype=dtype,
             exact_chain=exact_chain,
+            reset_on_set_live=True,  # otw_eran.py:92-97
         )
 
     def set_live(self, live):

@@ -165,6 +165,42 @@ def eval_origin(acc, live, ref, *, euclidean: bool):
     return acc.at[0, 0].set(c00)
 
 
+def eval_cell(acc, live, ref, x, y, *, euclidean: bool):
+    """Single-cell DP evaluation at traced indices (otw_eran.py:215-239).
+
+    Used by set_live's prologue, which evaluates cell ``(t, j)`` before the
+    main loop — at a fresh state this is the origin cell, after streaming
+    inserts it re-evaluates the current frontier cell (LiveNote semantics,
+    livenote.py:105-108).  Edge neighbours are excluded from the min exactly
+    as the reference's ``if x > 0`` / ``if y > 0`` guards do; interior
+    neighbours are read from the dense matrix whether or not they were ever
+    computed (sentinel reads, as in the reference)."""
+    dtype = acc.dtype
+    f = ref.shape[0]
+    live_x = lax.dynamic_slice(live, (_I0, x), (f, 1))[:, 0]
+    ref_y = lax.dynamic_slice(ref, (_I0, y), (f, 1))[:, 0]
+    if euclidean:
+        d = live_x - ref_y
+        cost = jnp.sqrt(jnp.sum(d * d)).astype(dtype)
+    else:
+        cost = (1.0 - live_x @ ref_y).astype(dtype)
+
+    inf = jnp.asarray(jnp.inf, dtype)
+    # dynamic_slice clamps negative starts to 0; the masks discard those reads
+    left = lax.dynamic_slice(acc, (x, y - _I1), (1, 1))[0, 0]
+    up = lax.dynamic_slice(acc, (x - _I1, y), (1, 1))[0, 0]
+    diag = lax.dynamic_slice(acc, (x - _I1, y - _I1), (1, 1))[0, 0]
+    best = jnp.minimum(
+        jnp.minimum(
+            jnp.where(y > 0, left + cost, inf),
+            jnp.where(x > 0, up + cost, inf),
+        ),
+        jnp.where((x > 0) & (y > 0), diag + 2.0 * cost, inf),
+    )
+    new = jnp.where((x == 0) & (y == 0), cost, best)
+    return lax.dynamic_update_slice(acc, new[None, None], (x, y))
+
+
 def band_argmin(acc, t, j, *, c: int):
     """Best point over the row band ∪ column band (otw_eran.py:192-211).
 

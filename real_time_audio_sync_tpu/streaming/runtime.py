@@ -71,6 +71,7 @@ class ScoreFollower:
         log_dir: Optional[str] = None,
         dtype=np.float32,
         use_blocks: bool = False,
+        pipelined: bool = False,
     ):
         from real_time_audio_sync_tpu.eval.corpus import DEFAULT_PARAMS
         from real_time_audio_sync_tpu.features.chroma import wav_to_chroma
@@ -80,6 +81,11 @@ class ScoreFollower:
         self.engine_name = engine
         self.params = dict(params or DEFAULT_PARAMS)
         self.use_blocks = use_blocks
+        # pipelined: dispatch inserts without synchronizing on the device and
+        # poll the compact status vector instead of fetching the path — the
+        # mode that sustains ≥100× real time on relay-attached TPUs where any
+        # device→host read costs a ~27 ms round-trip
+        self.pipelined = pipelined
 
         ref_seq = wav_to_chroma(ref_wav, dtype=dtype)
         cls = {"otw": OnlineTimeWarping, "livenote": LiveNote, "livenote_v2": LiveNoteV2}[engine]
@@ -105,6 +111,8 @@ class ScoreFollower:
     def stop(self) -> Optional[str]:
         """Stop following; write the path log if a log_dir was configured."""
         self.recording = False
+        if self.pipelined and self.engine.flush() == "stop":
+            self.stopped = True
         if self.log_dir:
             os.makedirs(self.log_dir, exist_ok=True)
             self._log_path = os.path.join(
@@ -143,7 +151,19 @@ class ScoreFollower:
 
         cols = np.asarray(chroma_frames(jnp.asarray(np.stack(windows), self.engine.dtype)))
         events: List[FollowEvent] = []
-        if self.use_blocks:
+        if self.pipelined:
+            # one async dispatch per hop batch; never block on the device.
+            # The follow event reports the score position from the newest
+            # completed status vector (engine.last_point == path[-1]).
+            self.latency.start()
+            status = self.engine.insert_block_nowait(cols)
+            self.latency.stop()
+            if status != "stop":
+                status = self.engine.poll()  # non-blocking opportunistic read
+            if status == "stop":
+                self.stopped = True
+            events.append(self._event_from_status())
+        elif self.use_blocks:
             self.latency.start()
             status = self.engine.insert_block(cols)
             self.latency.stop()
@@ -162,11 +182,23 @@ class ScoreFollower:
                 events.append(self._event())
         return events
 
+    def _event_from_status(self) -> FollowEvent:
+        """Follow event from the engine's last polled status vector — no
+        device synchronization (pipelined mode)."""
+        lp = self.engine.last_point
+        if lp is None or lp[0] == 0:
+            return FollowEvent(0, 0, None, None, 0.0, self.stopped)
+        _, live_f, ref_f = lp
+        return self._lookup_event(live_f, ref_f)
+
     def _event(self) -> FollowEvent:
         path = self.engine.path
         if not path:
             return FollowEvent(0, 0, None, None, 0.0, self.stopped)
         live_f, ref_f = path[-1]
+        return self._lookup_event(live_f, ref_f)
+
+    def _lookup_event(self, live_f, ref_f) -> FollowEvent:
         beat, label = (None, None)
         if self.ground_truth is not None:
             beat, label = get_beat_and_label(ref_f, self.ground_truth)

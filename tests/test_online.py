@@ -96,6 +96,53 @@ def test_set_live_matches_oracle(name, cls, kw, seed):
     np.testing.assert_array_equal(engine.path_array, opath)
 
 
+@pytest.mark.parametrize("name,cls,kw", ENGINES)
+def test_set_live_after_inserts_matches_oracle(name, cls, kw):
+    """set_live after streaming inserts: OnlineTimeWarping resets pointers/
+    direction/path but keeps the cost matrices (otw_eran.py:92-97); LiveNote
+    and V2 continue from the current frontier (livenote.py:102-108)."""
+    rng = np.random.default_rng(17)
+    ref, live = _make_pair(rng)
+    engine = cls(ref, dtype=np.float64, exact_chain=True, **kw)
+    oracle = _oracle_for(name, ref)
+    for i in range(12):
+        engine.insert(live[:, i])
+        oracle.insert(live[:, i])
+    engine.set_live(live)
+    opath = oracle.set_live(live)
+    np.testing.assert_array_equal(engine.path_array, np.asarray(opath))
+    assert engine.live_ptr == oracle.t
+    assert engine.ref_ptr == oracle.j
+
+
+@pytest.mark.parametrize("name,cls,kw", ENGINES)
+def test_pipelined_inserts_match_sync(name, cls, kw):
+    """insert_nowait + poll/flush (the pipelined streaming path) commits the
+    exact same path as synchronous insert; "stop" surfaces by flush at the
+    latest, and post-stop dispatches freeze (documented lazy-stop deviation)."""
+    rng = np.random.default_rng(23)
+    ref, live = _make_pair(rng, n_ref=30, stretch=1.0)
+    extra = _unit_cols(rng.random((12, 25)) + 0.05)
+    live = np.concatenate([live, extra], axis=1)
+
+    sync = cls(ref, dtype=np.float64, **kw)
+    for i in range(live.shape[1]):
+        if sync.insert(live[:, i]) == "stop":
+            break
+
+    pipe = cls(ref, dtype=np.float64, **kw)
+    for i in range(live.shape[1]):
+        pipe.insert_nowait(live[:, i])
+        pipe.poll()  # opportunistic, non-blocking
+    assert pipe.flush() == "stop"
+    assert pipe.insert_nowait(live[:, 0]) == "stop"  # cached verdict
+    assert [tuple(p) for p in pipe.path] == [tuple(p) for p in sync.path]
+    # last_point mirrors path tail without fetching the path
+    plen, x, y = pipe.last_point
+    assert plen == len(pipe.path)
+    assert (x, y) == tuple(pipe.path[-1])
+
+
 def test_v2_path_is_monotone():
     rng = np.random.default_rng(9)
     ref, live = _make_pair(rng)

@@ -101,6 +101,28 @@ def test_score_follower_blocks_mode(chopin_pair, tmp_path):
     assert [tuple(p) for p in blocks.path] == [tuple(p) for p in per_hop.path]
 
 
+def test_score_follower_pipelined_mode(chopin_pair, tmp_path):
+    """Pipelined (async-dispatch) following commits the identical path and
+    still reports advancing score positions via the status vector."""
+    ref_wav, live_wav = chopin_pair
+    sync = ScoreFollower(ref_wav, engine="otw", params={"c": 50, "max_run_count": 3}, dtype=np.float64)
+    pipe = ScoreFollower(
+        ref_wav, engine="otw", params={"c": 50, "max_run_count": 3}, dtype=np.float64, pipelined=True
+    )
+    events = {id(sync): [], id(pipe): []}
+    for f in (sync, pipe):
+        f.start()
+        for buf in SimulatedMic(live_wav, buffer_size=4096):
+            events[id(f)] += f.receive_audio(buf)
+            if f.stopped:
+                break
+        f.stop()
+    assert pipe.stopped == sync.stopped  # neither/both exhausted the score
+    assert [tuple(p) for p in pipe.path] == [tuple(p) for p in sync.path]
+    refs = [e.ref_frame for e in events[id(pipe)]]
+    assert refs and max(refs) > 300  # positions advanced without path fetches
+
+
 def test_combine_buffers_empty():
     assert combine_buffers([]).size == 0
 
