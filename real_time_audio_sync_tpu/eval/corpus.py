@@ -80,7 +80,7 @@ def align_pair(
         live, fs = load_wav(live_wav)
         assert fs == 22050
         for buf in np.array_split(live, 4096):  # tests.py:186
-            if wtw.insert(buf.tolist()) == "stop":
+            if wtw.insert(buf) == "stop":
                 break
         path = wtw.path
     else:

@@ -60,7 +60,7 @@ class WTWOfflineEvaluator:
         """Emulate live streaming by splitting the recording into ``buf_size``
         chunks (wtw.py:298-307), then score the committed path."""
         for buf in np.array_split(self.live_recording, buf_size):
-            if self.dtw.insert(buf.tolist()) == "stop":
+            if self.dtw.insert(buf) == "stop":
                 break
         self.sync_ests = self.dtw.path
         self.error = self.get_error()

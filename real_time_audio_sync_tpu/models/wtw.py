@@ -34,6 +34,52 @@ from real_time_audio_sync_tpu.ops.wavefront import WTW_SPEC, backtrack, wavefron
 from real_time_audio_sync_tpu.utils.wavio import load_wav
 
 
+class SampleFIFO:
+    """Amortized-O(1) numpy sample queue replacing the reference's Python
+    list buffer (wtw.py:73,81-83): the reference re-slices the whole list
+    every hop (O(len) per hop → O(frames²) per stream); here consumption is
+    a pointer bump and compaction copies each sample at most once."""
+
+    def __init__(self, dtype, capacity: int = 1 << 16):
+        self._data = np.zeros(capacity, dtype)
+        self._start = 0
+        self._end = 0
+
+    @classmethod
+    def from_array(cls, arr, dtype):
+        fifo = cls(dtype, capacity=max(1 << 16, 2 * len(arr)))
+        fifo.extend(arr)
+        return fifo
+
+    def __len__(self) -> int:
+        return self._end - self._start
+
+    def extend(self, samples) -> None:
+        samples = np.asarray(samples, self._data.dtype).ravel()
+        n = len(samples)
+        if self._end + n > len(self._data):
+            live = self._end - self._start
+            if live + n > len(self._data):  # grow
+                new = np.zeros(max(2 * len(self._data), live + n), self._data.dtype)
+                new[:live] = self._data[self._start : self._end]
+                self._data = new
+            else:  # compact
+                self._data[:live] = self._data[self._start : self._end]
+            self._start, self._end = 0, live
+        self._data[self._end : self._end + n] = samples
+        self._end += n
+
+    def view(self, n: int) -> np.ndarray:
+        """Zero-copy view of the first ``n`` queued samples."""
+        return self._data[self._start : self._start + n]
+
+    def consume(self, n: int) -> None:
+        self._start += n
+
+    def to_array(self) -> np.ndarray:
+        return self.view(len(self)).copy()
+
+
 @partial(jax.jit, static_argnames=())
 def _window_cost(x, y):
     """Explicit cosine cost with norm division (wtw.py:162-171): the columns
@@ -58,7 +104,7 @@ def _window_dtw(x, y):
 
 
 class WTW:
-    def __init__(self, ref_recording, params, debug_params=None, dtype=None):
+    def __init__(self, ref_recording, params, debug_params=None, dtype=None, keep_acc_canvas=True):
         self.params = WTWParams.from_any(params)
         self.debug_params = debug_params or {}
         self.dtype = np.dtype(dtype or np.float32)
@@ -82,10 +128,16 @@ class WTW:
 
         self.chroma_live = np.zeros((12, self.N), self.dtype)
         # dense accumulated-cost canvas for parity/visualization: windows are
-        # pasted in as they are computed (wtw.py:105)
-        self.acc_cost = np.full((self.N, self.M), np.inf, self.dtype)
+        # pasted in as they are computed (wtw.py:105).  Optional — for long
+        # streams where the O(N·M) canvas is unwanted, pass
+        # ``keep_acc_canvas=False`` (alignment is unaffected; only this
+        # debugging/heatmap artifact is skipped).
+        self.keep_acc_canvas = bool(keep_acc_canvas)
+        self.acc_cost = (
+            np.full((self.N, self.M), np.inf, self.dtype) if keep_acc_canvas else None
+        )
 
-        self.buf: List[float] = []
+        self.buf = SampleFIFO(self.dtype)
         self.path: List[tuple] = []
 
         self.chroma_ptr = 0
@@ -97,10 +149,11 @@ class WTW:
 
     # ------------------------------------------------------------------
     def insert(self, live_audio_buf):
-        """Insert raw audio samples (list or array) — wtw.py:71-130."""
-        if isinstance(live_audio_buf, np.ndarray):
-            live_audio_buf = live_audio_buf.tolist()
-        self.buf += live_audio_buf
+        """Insert raw audio samples (list or array) — wtw.py:71-130.
+
+        Arrays are ingested without copies into a numpy FIFO (amortized O(1)
+        per hop; the reference's list buffer re-slices O(len) every hop)."""
+        self.buf.extend(live_audio_buf)
 
         if self.ref_ptr >= self.M - 1 or self.live_ptr >= self.N - 1:
             return "stop"
@@ -111,13 +164,14 @@ class WTW:
             # call; buffer consumption then replays the reference's
             # one-col-per-iteration bookkeeping exactly
             n_cols = (len(self.buf) - self.fft_len) // self.hop_size + 1
-            frames = np.lib.stride_tricks.sliding_window_view(
-                np.asarray(self.buf, self.dtype), self.fft_len
-            )[:: self.hop_size][:n_cols]
+            avail = self.buf.view((n_cols - 1) * self.hop_size + self.fft_len)
+            frames = np.lib.stride_tricks.sliding_window_view(avail, self.fft_len)[
+                :: self.hop_size
+            ]
             cols = np.asarray(chroma_frames(jnp.asarray(frames)))  # (12, n_cols)
 
             for k in range(n_cols):
-                self.buf = self.buf[self.hop_size:]
+                self.buf.consume(self.hop_size)
                 if self.chroma_ptr >= self.N:
                     return "stop"  # live buffer capacity exhausted
                 self.chroma_live[:, self.chroma_ptr] = cols[:, k]
@@ -137,9 +191,10 @@ class WTW:
         x = self.chroma_live[:, self.live_ptr : self.live_ptr + w]
         y = self.chroma_ref[:, self.ref_ptr : self.ref_ptr + w]
         acc, points, length = _window_dtw(x, y)
-        self.acc_cost[
-            self.live_ptr : self.live_ptr + w, self.ref_ptr : self.ref_ptr + w
-        ] = np.asarray(acc)
+        if self.keep_acc_canvas:
+            self.acc_cost[
+                self.live_ptr : self.live_ptr + w, self.ref_ptr : self.ref_ptr + w
+            ] = np.asarray(acc)
         subpath = np.asarray(points)[: int(length)][::-1]  # origin → end
 
         next_start = self._hop_frames

@@ -275,7 +275,7 @@ class WTWFollower:
         if not self.recording or self.stopped:
             return []
         self.latency.start()
-        status = self.dtw.insert(np.asarray(frames, np.float32).tolist())
+        status = self.dtw.insert(np.asarray(frames, np.float32))
         self.latency.stop()
         if status == "stop":
             self.stopped = True

@@ -42,25 +42,30 @@ def load_state(engine: BandedOnlineEngine, path: str) -> None:
 
 def save_wtw_state(wtw, path: str) -> None:
     """Snapshot a WTW engine mid-stream (host-side state; models/wtw.py)."""
+    acc = wtw.acc_cost if wtw.acc_cost is not None else np.empty((0, 0), wtw.dtype)
     np.savez_compressed(
         path,
         chroma_ref=wtw.chroma_ref,
         chroma_live=wtw.chroma_live,
-        acc_cost=wtw.acc_cost,
-        buf=np.asarray(wtw.buf, np.float64),
+        acc_cost=acc,
+        buf=wtw.buf.to_array().astype(np.float64),
         path=np.asarray(wtw.path, np.int64).reshape(-1, 2),
         ptrs=np.asarray([wtw.chroma_ptr, wtw.live_ptr, wtw.ref_ptr], np.int64),
     )
 
 
 def load_wtw_state(wtw, path: str) -> None:
+    from real_time_audio_sync_tpu.models.wtw import SampleFIFO
+
     data = np.load(path)
     if data["chroma_ref"].shape != wtw.chroma_ref.shape or not np.array_equal(
         data["chroma_ref"], wtw.chroma_ref
     ):
         raise ValueError("checkpoint was taken against a different reference recording")
     wtw.chroma_live = data["chroma_live"]
-    wtw.acc_cost = data["acc_cost"]
-    wtw.buf = data["buf"].tolist()
+    acc = data["acc_cost"]
+    wtw.acc_cost = acc if acc.size else None
+    wtw.keep_acc_canvas = bool(acc.size)
+    wtw.buf = SampleFIFO.from_array(data["buf"], wtw.dtype)
     wtw.path = [tuple(p) for p in data["path"]]
     wtw.chroma_ptr, wtw.live_ptr, wtw.ref_ptr = (int(x) for x in data["ptrs"])

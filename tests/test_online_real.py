@@ -36,11 +36,11 @@ def test_otw_insert_real_audio_matches_oracle_and_scores(chopin_chroma):
     assert [tuple(p) for p in engine.path] == [tuple(p) for p in oracle.path]
 
     result = PathScorer.for_pair(ref_wav, live_wav).score(engine.path)
-    # The recorded WTW field runs on this pair scored 0-4% >1 beat
-    # (BASELINE.md); streaming OTW should be in the same regime.
-    assert result.pct_off_beats[1] < 12.0
-    assert result.pct_off_beats[3] < 2.0
-    assert result.pct_off_3s < 2.0
+    # Pinned to the recorded field regime (BASELINE.md: 0-4% >1 beat, 0% >3
+    # across the three WTW field logs); current value is 1.69% / 0.0%.
+    assert result.pct_off_beats[1] <= 5.0
+    assert result.pct_off_beats[3] == 0.0
+    assert result.pct_off_3s < 1.0
 
 
 def test_livenote_insert_vs_set_live_scores_agree(chopin_chroma):

@@ -66,6 +66,48 @@ def test_wtw_matches_oracle_on_shared_features(wtw_pair):
     assert engine.chroma_ptr == oracle.chroma_ptr
 
 
+def test_sample_fifo_semantics():
+    from real_time_audio_sync_tpu.models.wtw import SampleFIFO
+
+    fifo = SampleFIFO(np.float32, capacity=16)
+    stream = np.arange(1000, dtype=np.float32)
+    consumed = 0
+    fed = 0
+    rng = np.random.default_rng(3)
+    out = []
+    while consumed < 900:
+        if fed < len(stream):
+            n = int(rng.integers(1, 50))
+            fifo.extend(stream[fed : fed + n])
+            fed += n
+        take = min(len(fifo), int(rng.integers(1, 30)))
+        out.append(fifo.view(take).copy())
+        fifo.consume(take)
+        consumed += take
+    got = np.concatenate(out)
+    np.testing.assert_array_equal(got, stream[: len(got)])
+    # round-trip for checkpointing
+    rest = fifo.to_array()
+    np.testing.assert_array_equal(rest, stream[len(got) : len(got) + len(rest)])
+
+
+def test_wtw_array_ingestion_and_no_canvas_match_list_path(wtw_pair):
+    """ndarray ingestion (no .tolist()) and keep_acc_canvas=False produce the
+    identical committed path to the list-fed, canvas-keeping engine."""
+    ref_path, live = wtw_pair
+    a = WTW(ref_path, WTW_PARAMS, dtype=np.float64)
+    b = WTW(ref_path, WTW_PARAMS, dtype=np.float64, keep_acc_canvas=False)
+    assert b.acc_cost is None
+    for buf in np.array_split(live, 256):
+        ra = a.insert(buf.tolist())
+        rb = b.insert(buf)
+        assert ra == rb
+        if ra == "stop":
+            break
+    assert a.path == b.path
+    assert a.acc_cost is not None
+
+
 def test_wtw_path_properties(wtw_pair):
     ref_path, live = wtw_pair
     engine = WTW(ref_path, WTW_PARAMS, dtype=np.float64)
@@ -112,5 +154,7 @@ def test_wtw_real_audio_accuracy(chopin_pair):
         if engine.insert(buf.tolist()) == "stop":
             break
     result = PathScorer.for_pair(ref_wav, live_wav).score(engine.path)
-    assert result.pct_off_beats[1] < 8.0
-    assert result.pct_off_beats[3] < 1.0
+    # Pinned to the recorded field regime (BASELINE.md: 0-4% >1 beat, 0% >3);
+    # this offline replay currently scores 0.0% in every bucket.
+    assert result.pct_off_beats[1] <= 4.1
+    assert result.pct_off_beats[3] == 0.0
