@@ -129,9 +129,44 @@ def chroma_pipeline(wav: jnp.ndarray, n_fft: int = FFT_LEN, hop: int = HOP_SIZE,
 # ---------------------------------------------------------------------------
 
 
-def chroma_from_samples(wav: np.ndarray, dtype=np.float32, normalize: bool = True) -> np.ndarray:
-    """22.05 kHz mono samples → (12, T) chroma, as numpy."""
-    wav = jnp.asarray(np.asarray(wav), dtype)
+_MIN_BUCKET = 1 << 15  # 32768 samples ≈ 1.5 s
+_compiled_buckets: set = set()
+
+
+def _bucket_len(n_samples: int) -> int:
+    """Next power-of-two sample count ≥ n_samples (min ~1.5 s)."""
+    b = _MIN_BUCKET
+    while b < n_samples:
+        b <<= 1
+    return b
+
+
+def compiled_bucket_count() -> int:
+    """Distinct (bucket_length, dtype) chroma programs compiled so far —
+    bench/corpus diagnostics for the one-compile-per-bucket guarantee."""
+    return len(_compiled_buckets)
+
+
+def chroma_from_samples(wav: np.ndarray, dtype=np.float32, normalize: bool = True, bucket: bool = True) -> np.ndarray:
+    """22.05 kHz mono samples → (12, T) chroma, as numpy.
+
+    ``bucket=True`` zero-pads the wav to the next power-of-two length before
+    the jitted pipeline and slices the result back to the true frame count,
+    so a corpus sweep compiles one program per length *bucket* instead of one
+    per file (each fresh shape costs a 20-60 s remote compile on the target
+    platform).  Exact: every true frame lies entirely within the original
+    (left-padded) signal — trailing pad zeros only produce extra frames,
+    which are sliced off before return."""
+    wav_np = np.asarray(wav)
+    if bucket and wav_np.ndim == 1 and wav_np.shape[0] > 0:
+        t_true = num_frames(wav_np.shape[0])
+        blen = _bucket_len(wav_np.shape[0])
+        padded = np.zeros(blen, np.dtype(dtype))
+        padded[: wav_np.shape[0]] = wav_np
+        _compiled_buckets.add((blen, np.dtype(dtype).name))
+        out = np.asarray(chroma_pipeline(jnp.asarray(padded), normalize=normalize))
+        return out[:, :t_true]
+    wav = jnp.asarray(wav_np, dtype)
     return np.asarray(chroma_pipeline(wav, normalize=normalize))
 
 

@@ -21,6 +21,23 @@ def test_num_frames_matches_reference_semantics():
         assert jchroma.num_frames(n) == expect
 
 
+def test_bucketed_compile_is_exact_and_shared(random_wav):
+    """Length bucketing pads to a power of two and slices the result: output
+    matches the unbucketed pipeline (to the ulp level — XLA tiles the DFT
+    matmuls differently per shape), and nearby lengths share one compiled
+    program (one compile per bucket, not per file)."""
+    before = jchroma.compiled_bucket_count()
+    lens = [22050 * 2 + 7, 22050 * 2 + 4096, 22050 * 2]
+    for n in lens:
+        wav = random_wav[:n]
+        bucketed = jchroma.chroma_from_samples(wav, dtype=np.float64)
+        direct = jchroma.chroma_from_samples(wav, dtype=np.float64, bucket=False)
+        assert bucketed.shape == direct.shape
+        np.testing.assert_allclose(bucketed, direct, rtol=1e-12, atol=1e-14)
+    # all three lengths fall into the 65536-sample bucket → one new program
+    assert jchroma.compiled_bucket_count() <= before + 1
+
+
 def test_chroma_matches_oracle_f64(random_wav):
     ours = jchroma.chroma_from_samples(random_wav, dtype=np.float64)
     ref = oracle_chroma(random_wav)

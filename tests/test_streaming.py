@@ -123,6 +123,81 @@ def test_score_follower_pipelined_mode(chopin_pair, tmp_path):
     assert refs and max(refs) > 300  # positions advanced without path fetches
 
 
+def test_duplex_audio_output_pump(chopin_pair, tmp_path):
+    """The reference Audio's duplex contract (ims/audio.py:64-103): per
+    polled frame, input drains to input_func AND the generator supplies
+    exactly get_write_available() frames to the output; a falsy continue
+    flag detaches the generator."""
+    from real_time_audio_sync_tpu.streaming.audio_io import (
+        BufferSink,
+        DuplexAudio,
+        WavPlayback,
+    )
+
+    ref_wav, live_wav = chopin_pair
+    got_in, got_listen = [], []
+    sink = BufferSink(frames_per_poll=512)
+    duplex = DuplexAudio(
+        num_channels=1,
+        input_func=lambda buf, ch: got_in.append(buf),
+        listen_func=lambda buf, ch: got_listen.append(buf),
+        input_source=SimulatedMic(live_wav, buffer_size=512),
+        sink=sink,
+    )
+    playback = WavPlayback(ref_wav)
+    duplex.set_generator(playback)
+    n_polls = 0
+    while duplex.generator is not None:
+        duplex.on_update()
+        n_polls += 1
+        assert n_polls < 10_000
+    # generated audio == the reference recording, zero-padded to poll size
+    out = sink.samples()
+    src, _ = load_wav(ref_wav)
+    assert len(out) >= len(src)
+    np.testing.assert_allclose(out[: len(src)], src.astype(np.float32), atol=2e-7)
+    np.testing.assert_array_equal(out[len(src):], 0)
+    # input side kept draining and the listen tap saw every output block
+    assert len(got_in) > 0
+    np.testing.assert_array_equal(np.concatenate(got_listen), out)
+    assert duplex.get_cpu_load() > 0.0
+
+
+def test_click_track_generator():
+    from real_time_audio_sync_tpu.streaming.audio_io import ClickTrack
+
+    beats = [0.1, 0.5, 1.0]
+    gen = ClickTrack(beats, click_sec=0.02)
+    chunks = []
+    more = True
+    while more:
+        data, more = gen.generate(512, 1)
+        chunks.append(data)
+    out = np.concatenate(chunks)
+    # energy present exactly around each beat, silence well away from them
+    for b in beats:
+        k = int(b * 22050)
+        assert np.abs(out[k : k + 440]).max() > 0.1
+    assert np.abs(out[int(0.3 * 22050) : int(0.4 * 22050)]).max() == 0.0
+
+
+def test_cursor3d_and_cellipse():
+    from real_time_audio_sync_tpu.streaming.display import CEllipse, Cursor3D
+
+    e = CEllipse(cpos=(50, 40), csize=(20, 10))
+    assert e.pos == (40, 35)
+    e.csize = (40, 20)  # resizing keeps the center (ims/gfxutil.py:52-55)
+    assert e.cpos == (50, 40)
+
+    cur = Cursor3D(area_size=(200, 100), area_pos=(10, 20), size_range=(10, 50))
+    cur.set_pos(np.array([0.25, 0.5, 1.0]))
+    # reference mapping (ims/gfxutil.py:132-136)
+    assert cur.get_screen_xy() == (10 + 0.25 * 200, 20 + 0.5 * 100)
+    assert cur.cursor.csize == (100, 100)  # z=1 → max radius 50
+    frame = cur.render(cols=21, rows=7)
+    assert "●" in frame
+
+
 def test_combine_buffers_empty():
     assert combine_buffers([]).size == 0
 
