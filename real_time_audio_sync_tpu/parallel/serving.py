@@ -10,8 +10,10 @@ large-scale serving viable (bench: aggregate throughput scales near-linearly
 in B).
 
 Per-frame DP recurrences stay stream-local; there is no cross-stream
-communication (SURVEY.md §5.8).  Combine with ``corpus_mesh`` sharding to
-spread stream groups over multiple chips.
+communication (SURVEY.md §5.8).  Pass ``mesh=corpus_mesh(...)`` to shard the
+stream batch over multiple chips: every pytree leaf carries the batch axis,
+so partitioning along it needs zero collectives — B/n_chips streams per chip,
+one SPMD dispatch per step.
 """
 
 from __future__ import annotations
@@ -22,6 +24,7 @@ from typing import List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from real_time_audio_sync_tpu.config import OTWParams
 from real_time_audio_sync_tpu.models.online_core import (
@@ -50,7 +53,8 @@ class MultiStreamFollower:
 
     def __init__(self, refs: Sequence[np.ndarray], params, dtype=np.float32,
                  sentinel: float = 1e10, run_count_init: int = 1,
-                 monotone_path: bool = False, euclidean: bool = False):
+                 monotone_path: bool = False, euclidean: bool = False,
+                 mesh: Optional[Mesh] = None):
         p = OTWParams.from_any(params)
         self.cfg = OnlineConfig(
             c=p.c,
@@ -73,10 +77,37 @@ class MultiStreamFollower:
         refs_padded = np.zeros((self.b, f, n_max), self.dtype)
         for i, r in enumerate(refs):
             refs_padded[i, :, : r.shape[1]] = r
-        self.refs = jax.device_put(jnp.asarray(refs_padded))
+        # multi-chip: shard the stream batch axis over the mesh — per-stream
+        # DP state is chip-local, so the partitioned step needs no
+        # collectives (SURVEY.md §5.8)
+        self.mesh = mesh
+        if mesh is not None:
+            n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+            if self.b % n_dev:
+                raise ValueError(
+                    f"stream count {self.b} must be divisible by the mesh's "
+                    f"{n_dev} devices (pad with inactive dummy streams)"
+                )
+            axis = mesh.axis_names[0]
+            self._put = lambda x: jax.device_put(
+                x, NamedSharding(mesh, P(axis, *(None,) * (np.ndim(x) - 1)))
+            )
+        else:
+            # single chip: pass host arrays straight into the jitted call —
+            # jit's argument-transfer path beats an explicit device_put by
+            # orders of magnitude on relay-attached TPUs
+            self._put = lambda x: x
+
+        if mesh is None:
+            self.refs = jax.device_put(jnp.asarray(refs_padded))
+            self._ref_lens_dev = jax.device_put(jnp.asarray(self.ref_lens))
+        else:
+            self.refs = self._put(refs_padded)
+            self._ref_lens_dev = self._put(self.ref_lens)
 
         one = init_state(jnp.zeros((f, n_max), self.dtype), self.cfg, self.dtype)
-        self.states = jax.tree.map(lambda x: jnp.broadcast_to(x, (self.b,) + x.shape).copy(), one)
+        states = jax.tree.map(lambda x: np.broadcast_to(np.asarray(x), (self.b,) + x.shape).copy(), one)
+        self.states = jax.tree.map(self._put if mesh is not None else jax.device_put, states)
 
     def insert(self, cols: np.ndarray, active: Optional[np.ndarray] = None) -> np.ndarray:
         """Insert one column per stream (B, F).  Returns the per-stream
@@ -88,7 +119,8 @@ class MultiStreamFollower:
             active = np.ones(self.b, bool)
         act = np.asarray(active, bool) & ~self.stopped
         self.states = _batched_insert(
-            self.states, cols, self.refs, jnp.asarray(self.ref_lens), act, self.cfg
+            self.states, self._put(cols), self.refs, self._ref_lens_dev,
+            self._put(act), self.cfg,
         )
         return self.stopped
 

@@ -114,3 +114,52 @@ def test_multistream_matches_solo_engines():
     for k, eng in enumerate(solo):
         np.testing.assert_array_equal(ms.paths()[k], eng.path_array)
         assert bool(ms.stopped[k]) == bool(eng.state.stopped)
+
+
+def test_multistream_sharded_over_mesh_matches_solo():
+    """Serving sharded over the 8-device mesh (B/n_chips streams per chip,
+    zero collectives): per-stream paths match the solo engines exactly."""
+    from real_time_audio_sync_tpu.parallel import corpus_mesh
+    from real_time_audio_sync_tpu.parallel.serving import MultiStreamFollower
+
+    rng = np.random.default_rng(11)
+    pairs = [_make_pair(rng, n_ref=28 + 3 * i, stretch=1.1 + 0.05 * i) for i in range(8)]
+    refs = [p[0] for p in pairs]
+    lives = [p[1] for p in pairs]
+    params = {"c": 10, "max_run_count": 3}
+
+    solo = []
+    for ref, live in pairs:
+        eng = OnlineTimeWarping(ref, params, dtype=np.float64)
+        for i in range(live.shape[1]):
+            if eng.insert(live[:, i]) == "stop":
+                break
+        solo.append(eng)
+
+    mesh = corpus_mesh()
+    ms = MultiStreamFollower(refs, params, dtype=np.float64, mesh=mesh)
+    # one stream group per device
+    assert len(set(d for s in jax.tree.leaves(ms.states) for d in s.sharding.device_set)) == 8
+    max_t = max(l.shape[1] for l in lives)
+    for step in range(max_t):
+        cols = np.zeros((8, 12))
+        active = np.zeros(8, bool)
+        for k, live in enumerate(lives):
+            if step < live.shape[1]:
+                cols[k] = live[:, step]
+                active[k] = True
+        ms.insert(cols, active)
+
+    for k, eng in enumerate(solo):
+        np.testing.assert_array_equal(ms.paths()[k], eng.path_array)
+        assert bool(ms.stopped[k]) == bool(eng.state.stopped)
+
+
+def test_multistream_mesh_requires_divisible_batch():
+    from real_time_audio_sync_tpu.parallel import corpus_mesh
+    from real_time_audio_sync_tpu.parallel.serving import MultiStreamFollower
+
+    rng = np.random.default_rng(12)
+    refs = [_make_pair(rng, n_ref=30)[0] for _ in range(3)]
+    with pytest.raises(ValueError, match="divisible"):
+        MultiStreamFollower(refs, {"c": 10, "max_run_count": 3}, mesh=corpus_mesh())
