@@ -49,6 +49,13 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _t_scalar(f, *a):
+    """Wall time of one dispatch synchronized by a scalar read."""
+    t0 = time.perf_counter()
+    float(f(*a))
+    return time.perf_counter() - t0
+
+
 def main() -> int:
     import real_time_audio_sync_tpu as rtas
     from real_time_audio_sync_tpu.models import OnlineTimeWarping
@@ -208,6 +215,32 @@ def main() -> int:
             f"({wall5/live5.shape[1]*1e6:.0f} us/frame)")
     except Exception as e:
         log(f"3-minute diagnostic skipped ({e})")
+
+    # --- 8b. offline DTW: fused Pallas wavefront vs the lax.scan wavefront
+    # (scalar-only read-back so the relay transfer doesn't mask kernel time)
+    try:
+        from functools import partial as _partial
+
+        import jax.numpy as jnp
+
+        from real_time_audio_sync_tpu.ops.pallas_wavefront import wavefront_dp_pallas
+        from real_time_audio_sync_tpu.ops.wavefront import DTW_SPEC, wavefront_dp
+
+        @_partial(jax.jit, static_argnames=("which",))
+        def _dp_probe(cost, which):
+            f = wavefront_dp if which == "scan" else wavefront_dp_pallas
+            acc, back = f(cost, DTW_SPEC)
+            return acc[-1, -1] + back.astype(jnp.int32).sum()
+
+        cost_big = jnp.asarray(np.random.default_rng(0).random((1900, 1900)), jnp.float32)
+        for which in ("scan", "pallas"):
+            float(_dp_probe(cost_big, which))  # compile
+        t_scan = min(_t_scalar(_dp_probe, cost_big, "scan") for _ in range(5))
+        t_pal = min(_t_scalar(_dp_probe, cost_big, "pallas") for _ in range(5))
+        log(f"offline DTW wavefront 1900x1900: scan {t_scan*1e3:.1f} ms, "
+            f"pallas kernel {t_pal*1e3:.1f} ms -> {t_scan/t_pal:.1f}x (incl ~27 ms relay read)")
+    except Exception as e:
+        log(f"pallas wavefront diagnostic skipped ({e})")
 
     # --- 9. wide-band robustness config: per-step cost is O(c) in Python
     # but flat on the vector unit

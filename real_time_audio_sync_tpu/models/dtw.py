@@ -25,16 +25,36 @@ def _cosine_cost(seq_a, seq_b):
     return 1.0 - seq_a.T @ seq_b
 
 
-def dtw_device(seq_a, seq_b):
+def _use_pallas(backend: str, dtype) -> bool:
+    if backend == "pallas":
+        return True
+    if backend == "scan":
+        return False
+    # auto: the fused kernel targets real TPUs and f32 (the production
+    # dtype); CPU and f64 parity runs use the scan
+    from real_time_audio_sync_tpu.ops.pallas_wavefront import pallas_wavefront_supported
+
+    return pallas_wavefront_supported(None, dtype)
+
+
+def dtw_device(seq_a, seq_b, backend: str = "auto"):
     """Device-resident DTW: returns (cost, acc, path_points, path_len) as
-    jax arrays; ``path_points`` is reversed (end → origin) and padded."""
+    jax arrays; ``path_points`` is reversed (end → origin) and padded.
+
+    ``backend``: "auto" (Pallas kernel on TPU/f32, lax.scan otherwise),
+    "scan", or "pallas" — both produce bit-identical acc/back matrices."""
     cost = _cosine_cost(seq_a, seq_b)
-    acc, back = wavefront_dp(cost, DTW_SPEC)
+    if _use_pallas(backend, cost.dtype):
+        from real_time_audio_sync_tpu.ops.pallas_wavefront import wavefront_dp_pallas
+
+        acc, back = wavefront_dp_pallas(cost, DTW_SPEC)
+    else:
+        acc, back = wavefront_dp(cost, DTW_SPEC)
     points, length = backtrack(back, DTW_SPEC)
     return cost, acc, points, length
 
 
-def DTW(seq_a, seq_b, dtype=None):
+def DTW(seq_a, seq_b, dtype=None, backend: str = "auto"):
     """Reference-parity offline DTW.
 
     Accepts (F, M) and (F, N) numpy/jax arrays, returns numpy
@@ -46,7 +66,7 @@ def DTW(seq_a, seq_b, dtype=None):
     if dtype is not None:
         seq_a = seq_a.astype(dtype)
         seq_b = seq_b.astype(dtype)
-    cost, acc, points, length = dtw_device(jnp.asarray(seq_a), jnp.asarray(seq_b))
+    cost, acc, points, length = dtw_device(jnp.asarray(seq_a), jnp.asarray(seq_b), backend)
     n_valid = int(length)
     path = np.asarray(points)[:n_valid][::-1]
     return np.asarray(cost), np.asarray(acc), path

@@ -92,13 +92,20 @@ def _window_cost(x, y):
     return 1.0 - dots / (nx[:, None] * ny[None, :])
 
 
-@jax.jit
-def _window_dtw(x, y):
+@partial(jax.jit, static_argnames=("use_pallas",))
+def _window_dtw(x, y, use_pallas: bool = False):
     """One w×w window alignment: cost → wavefront DP → backtracked subpath.
 
-    Returns (D, points, length); ``points`` is end→origin, padded."""
+    Returns (D, points, length); ``points`` is end→origin, padded.
+    ``use_pallas`` swaps in the fused Pallas sweep (bit-identical results;
+    ops/pallas_wavefront.py) on real TPUs."""
     cost = _window_cost(x, y)
-    acc, back = wavefront_dp(cost, WTW_SPEC)
+    if use_pallas:
+        from real_time_audio_sync_tpu.ops.pallas_wavefront import wavefront_dp_pallas
+
+        acc, back = wavefront_dp_pallas(cost, WTW_SPEC)
+    else:
+        acc, back = wavefront_dp(cost, WTW_SPEC)
     points, length = backtrack(back, WTW_SPEC)
     return acc, points, length
 
@@ -147,6 +154,10 @@ class WTW:
         self._w = self.dtw_win_size // self.hop_size  # window in frames
         self._hop_frames = self.dtw_hop_size // self.hop_size
 
+        from real_time_audio_sync_tpu.ops.pallas_wavefront import pallas_wavefront_supported
+
+        self._use_pallas = pallas_wavefront_supported(None, self.dtype)
+
     # ------------------------------------------------------------------
     def insert(self, live_audio_buf):
         """Insert raw audio samples (list or array) — wtw.py:71-130.
@@ -190,7 +201,7 @@ class WTW:
         w = self._w
         x = self.chroma_live[:, self.live_ptr : self.live_ptr + w]
         y = self.chroma_ref[:, self.ref_ptr : self.ref_ptr + w]
-        acc, points, length = _window_dtw(x, y)
+        acc, points, length = _window_dtw(x, y, use_pallas=self._use_pallas)
         if self.keep_acc_canvas:
             self.acc_cost[
                 self.live_ptr : self.live_ptr + w, self.ref_ptr : self.ref_ptr + w

@@ -1,0 +1,64 @@
+"""Real-hardware (non-interpret) parity checks for the Pallas kernels.
+
+The pytest process itself is pinned to the 8-virtual-device CPU platform
+(conftest), so these checks run in a subprocess that keeps the container's
+default TPU backend.  Skipped when no TPU is reachable.  Shapes match the
+ones bench.py exercises, so the persistent compile cache keeps this fast.
+"""
+
+import subprocess
+import sys
+
+import pytest
+
+_SCRIPT = r"""
+import sys
+sys.path.insert(0, {repo!r})
+import numpy as np
+import jax
+if jax.devices()[0].platform == "cpu":
+    print("NO_TPU"); raise SystemExit(0)
+import jax.numpy as jnp
+from real_time_audio_sync_tpu.ops.wavefront import DTW_SPEC, WTW_SPEC, wavefront_dp
+from real_time_audio_sync_tpu.ops.pallas_wavefront import wavefront_dp_pallas
+
+for spec in (DTW_SPEC, WTW_SPEC):
+    cost = jnp.asarray(np.random.default_rng(0).random((401, 380)), jnp.float32)
+    acc_s, back_s = wavefront_dp(cost, spec)
+    acc_p, back_p = wavefront_dp_pallas(cost, spec)
+    assert np.array_equal(np.asarray(acc_s), np.asarray(acc_p)), "acc mismatch"
+    assert np.array_equal(np.asarray(back_s), np.asarray(back_p)), "back mismatch"
+
+# fused OTW set_live kernel vs the XLA scan engine on the real pair
+import real_time_audio_sync_tpu as rtas
+from real_time_audio_sync_tpu.models import OnlineTimeWarping
+from real_time_audio_sync_tpu.ops.pallas_otw import pallas_set_live
+ref = np.asarray(rtas.wav_to_chroma("/root/reference/Songs/chopin/chopin_rubinstein_20b.wav"))
+live = np.asarray(rtas.wav_to_chroma("/root/reference/Songs/chopin/chopin_rachmaninoff_20b.wav"))
+P = {{"c": 50, "max_run_count": 3}}
+eng = OnlineTimeWarping(ref, P); eng.set_live(live)
+path, t, j, stopped = pallas_set_live(ref, live, P)
+assert np.array_equal(path, eng.path_array), "pallas_otw path mismatch"
+print("TPU_PARITY_PASS")
+"""
+
+
+def test_pallas_kernels_on_real_tpu(tmp_path):
+    import os
+    import pathlib
+
+    repo = str(pathlib.Path(__file__).resolve().parent.parent)
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # let the subprocess use the default backend
+    proc = subprocess.run(
+        [sys.executable, "-c", _SCRIPT.format(repo=repo)],
+        capture_output=True,
+        text=True,
+        timeout=550,
+        env=env,
+    )
+    out = proc.stdout + proc.stderr
+    if "NO_TPU" in out:
+        pytest.skip("no TPU platform reachable")
+    assert proc.returncode == 0, out[-2000:]
+    assert "TPU_PARITY_PASS" in proc.stdout, out[-2000:]
