@@ -216,6 +216,23 @@ def main() -> int:
     except Exception as e:
         log(f"3-minute diagnostic skipped ({e})")
 
+    # --- 8a. fused single-kernel OTW (ops/pallas_otw.py): the whole batch
+    # alignment in one Pallas launch with O(c²) banded VMEM state
+    try:
+        from real_time_audio_sync_tpu.ops.pallas_otw import pallas_set_live
+
+        ref5 = np.tile(ref, (1, 5)).astype(np.float32)
+        live5 = np.tile(live, (1, 5)).astype(np.float32)
+        pallas_set_live(ref5, live5, PARAMS)  # compile
+        t0 = time.perf_counter()
+        fpath, _, _, _ = pallas_set_live(ref5, live5, PARAMS)
+        fused_wall = time.perf_counter() - t0
+        audio5 = live5.shape[1] * HOP_SEC
+        log(f"fused Pallas set_live (N=1900): {fused_wall*1e3:.0f} ms -> RTF {audio5/fused_wall:.0f}x "
+            f"({fused_wall/live5.shape[1]*1e6:.0f} us/frame), path {len(fpath)} pts")
+    except Exception as e:
+        log(f"fused OTW kernel diagnostic skipped ({e})")
+
     # --- 8b. offline DTW: fused Pallas wavefront vs the lax.scan wavefront
     # (scalar-only read-back so the relay transfer doesn't mask kernel time)
     try:

@@ -570,14 +570,14 @@ class BandedOnlineEngine:
     @property
     def path(self):
         """Committed best-point path as a list of (live, ref) int tuples."""
-        n = int(self.state.path_len)
-        pts = np.asarray(self.state.path[:n])
-        return [tuple(p) for p in pts]
+        return [tuple(p) for p in self.path_array]
 
     @property
     def path_array(self):
-        n = int(self.state.path_len)
-        return np.asarray(self.state.path[:n])
+        # one batched device→host fetch: sequential reads of path_len and
+        # path each pay a full relay round-trip (~27 ms) on tunneled TPUs
+        pts, n = jax.device_get((self.state.path, self.state.path_len))
+        return pts[: int(n)]
 
     @property
     def acc_cost(self):
