@@ -70,9 +70,26 @@ def main() -> int:
     audio_sec = n_frames * HOP_SEC
     log(f"pair: ref {ref.shape[1]} frames, live {n_frames} frames ({audio_sec:.1f} s of audio)")
 
-    # --- 1. HEADLINE: pipelined block streaming (async dispatch per hop window)
-    def run_block_stream():
-        eng = OnlineTimeWarping(ref, PARAMS)
+    # --- 1. HEADLINE: pipelined block streaming (async dispatch per hop
+    # window) on the fused Pallas insert kernel with persistent VMEM state
+    # (models/fused_streaming.py); falls back to the XLA engine if the
+    # platform can't run the kernel
+    def make_fused():
+        from real_time_audio_sync_tpu.models import FusedStreamingEngine
+
+        return FusedStreamingEngine(ref.astype(np.float32), PARAMS, k_block=HOP_FRAMES)
+
+    try:
+        make_fused().insert_block_nowait(live[:, :HOP_FRAMES])
+        engine_factory = make_fused
+        backend = "fused-pallas"
+    except Exception as e:
+        log(f"fused kernel unavailable ({e}); falling back to the XLA engine")
+        engine_factory = lambda: OnlineTimeWarping(ref, PARAMS)
+        backend = "xla-scan"
+
+    def run_block_stream(factory):
+        eng = factory()
         t0 = time.perf_counter()
         for s in range(0, n_frames, HOP_FRAMES):
             if eng.insert_block_nowait(live[:, s : s + HOP_FRAMES]) == "stop":
@@ -80,11 +97,16 @@ def main() -> int:
         eng.flush()
         return time.perf_counter() - t0, eng
 
-    run_block_stream()  # compile (two block shapes: full + ragged tail)
-    block_wall, block_eng = min((run_block_stream() for _ in range(3)), key=lambda x: x[0])
+    run_block_stream(engine_factory)  # compile (two block shapes: full + ragged tail)
+    block_wall, block_eng = min((run_block_stream(engine_factory) for _ in range(3)), key=lambda x: x[0])
     rtf = audio_sec / block_wall
-    log(f"pipelined block streaming ({HOP_FRAMES} frames/dispatch): "
+    log(f"pipelined block streaming ({HOP_FRAMES} frames/dispatch, {backend}): "
         f"{block_wall/n_frames*1e3:.3f} ms/frame -> RTF {rtf:.0f}x")
+
+    # same mode on the XLA scan engine, for comparison
+    run_block_stream(lambda: OnlineTimeWarping(ref, PARAMS))
+    xla_wall, _ = min((run_block_stream(lambda: OnlineTimeWarping(ref, PARAMS)) for _ in range(2)), key=lambda x: x[0])
+    log(f"  (XLA scan engine, same mode: {xla_wall/n_frames*1e3:.3f} ms/frame -> RTF {audio_sec/xla_wall:.0f}x)")
 
     # --- 2. per-FRAME pipelined streaming (zero added buffering latency)
     def run_frame_stream():

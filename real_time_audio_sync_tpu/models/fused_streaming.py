@@ -1,0 +1,165 @@
+"""Fused-kernel streaming engine: Pallas inserts with persistent VMEM state.
+
+The XLA streaming path (models/online_core.BandedOnlineEngine) dispatches
+one program per frame/block whose scan steps each issue ~30 HLO ops; this
+engine instead drives ``ops.pallas_otw._pallas_insert_block`` — K streaming
+inserts per launch executed inside one kernel (~8 µs per alignment step),
+with the complete engine state (the band-relative window, the transposed
+live-feature buffer, the committed path and the scalar pointers) carried
+ACROSS launches via ``input_output_aliases`` — nothing is rebuilt or
+re-transferred between hops.
+
+API mirrors the pipelined subset of ``BandedOnlineEngine``:
+``insert_block_nowait`` / ``poll`` / ``flush`` / ``.path`` / ``.last_point``,
+with "stop" semantics identical to the reference (otw_eran.py:69-71; frozen
+no-op inserts after stop, lazy detection via the status vector).  Committed
+paths are exactly those of the XLA engine (tests/test_fused_streaming.py,
+hardware-verified in tests/test_tpu_hardware.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from real_time_audio_sync_tpu.config import OTWParams
+from real_time_audio_sync_tpu.models.online_core import BOTH, PREV_NONE, OnlineConfig
+from real_time_audio_sync_tpu.ops.pallas_otw import (
+    _LANES,
+    _N_SCALARS,
+    _S_DIR,
+    _S_FIRST,
+    _S_PLEN,
+    _S_RC,
+    _S_PREV,
+    _S_LASTX,
+    _S_LASTY,
+    _pallas_insert_block,
+    _round_up,
+    _SUBLANES,
+)
+
+
+class FusedStreamingEngine:
+    """Streams chroma columns through the fused Pallas insert kernel."""
+
+    dtype = np.dtype(np.float32)  # the kernel is f32-only
+
+    def __init__(self, ref, params, cfg_overrides: Optional[dict] = None, k_block: int = 8, interpret: bool = False):
+        # interpret=True: Pallas interpreter mode (CPU parity tests) — the
+        # interpreter does not alias the in/out state buffers, so the kernel
+        # carries state across with explicit copies there
+        self.interpret = bool(interpret)
+        p = OTWParams.from_any(params)
+        over = dict(sentinel=1e10, run_count_init=1, monotone_path=False, euclidean=False)
+        over.update(cfg_overrides or {})
+        self.cfg = OnlineConfig(c=p.c, max_run_count=p.max_run_count, **over)
+        self.k_block = int(k_block)
+
+        ref = np.asarray(ref, np.float32)
+        f, n = ref.shape
+        c = self.cfg.c
+        if n < c:
+            raise ValueError(f"reference length {n} shorter than search band {c}")
+        if f > _LANES:
+            raise ValueError(f"feature dim {f} exceeds the {_LANES}-lane layout")
+        self.f, self.n = f, n
+        self.cap = 2 * n  # pre-allocated live capacity (otw_eran.py:14)
+
+        w_lane = _round_up(c + 1, _LANES)
+        w_sub = _round_up(c + 1, _SUBLANES)
+        self._w_shape = (w_sub, w_lane)
+
+        ref_t = np.zeros((_round_up(c + n + w_lane + 8, _SUBLANES), _LANES), np.float32)
+        ref_t[c : c + n, :f] = ref.T
+        self.ref_t = jax.device_put(jnp.asarray(ref_t))
+
+        p_pad = _round_up(self.cap + n + 16, _LANES)
+        scalars = np.zeros(_N_SCALARS, np.int32)
+        scalars[_S_RC] = self.cfg.run_count_init
+        scalars[_S_PREV] = PREV_NONE
+        scalars[_S_LASTX] = -1
+        scalars[_S_LASTY] = -1
+        scalars[_S_FIRST] = 1
+        scalars[_S_DIR] = BOTH
+        self._state = jax.device_put(
+            (
+                jnp.full(self._w_shape, self.cfg.sentinel, jnp.float32),  # window
+                jnp.zeros((_round_up(c + self.cap + w_sub + 8, _SUBLANES), _LANES), jnp.float32),
+                jnp.zeros((p_pad,), jnp.int32),  # path x
+                jnp.zeros((p_pad,), jnp.int32),  # path y
+                jnp.asarray(scalars),
+            )
+        )
+        self._status = None
+        self._stopped_cached = False
+        self._last_point = None
+
+    # -- pipelined streaming API (mirrors BandedOnlineEngine) ----------------
+
+    def insert_block_nowait(self, cols):
+        """Dispatch up to k_block chroma columns (F, K); returns "stop" once
+        a previously polled status showed it (lazy; post-stop inserts are
+        frozen no-ops in-kernel, so the committed path is unaffected)."""
+        if self._stopped_cached or self.poll() == "stop":
+            return "stop"
+        cols = np.asarray(cols, np.float32)
+        if cols.ndim == 1:
+            cols = cols[:, None]
+        k = cols.shape[1]
+        if k > self.k_block:  # oversize blocks split into k_block launches
+            for s in range(0, k, self.k_block):
+                if self.insert_block_nowait(cols[:, s : s + self.k_block]) == "stop":
+                    return "stop"
+            return None
+        block = np.zeros((_round_up(self.k_block, _SUBLANES), _LANES), np.float32)
+        block[:k, : self.f] = cols.T
+        lens = np.asarray([self.cap, self.n, k, 0], np.int32)
+        w, live_t, px, py, sc = self._state
+        *self._state, self._status = _pallas_insert_block(
+            lens, self.ref_t, block, w, live_t, px, py, sc, self.cfg, self.k_block,
+            interpret=self.interpret,
+        )
+        self._state = tuple(self._state)
+        return None
+
+    insert_nowait = insert_block_nowait  # a single column is a K=1 block
+
+    def poll(self, block: bool = False):
+        """Non-blocking "stop" check against the newest status vector; the
+        read itself is one relay round-trip, so callers poll at hop cadence."""
+        if self._stopped_cached:
+            return "stop"
+        if self._status is None:
+            return None
+        if not block and not self._status.is_ready():
+            return None
+        vec = np.asarray(self._status)
+        self._status = None
+        self._last_point = (int(vec[1]), int(vec[2]), int(vec[3]))
+        if int(vec[0]) & 2:  # pragma: no cover - design invariant
+            raise AssertionError("column-phase loop bound violated")
+        if int(vec[0]) & 1:
+            self._stopped_cached = True
+            return "stop"
+        return None
+
+    def flush(self):
+        return self.poll(block=True)
+
+    @property
+    def last_point(self):
+        return self._last_point
+
+    @property
+    def path_array(self):
+        px, py, sc = jax.device_get((self._state[2], self._state[3], self._state[4]))
+        plen = int(sc[_S_PLEN])
+        return np.stack([px[:plen], py[:plen]], axis=1)
+
+    @property
+    def path(self):
+        return [tuple(p) for p in self.path_array]

@@ -1,26 +1,35 @@
-"""Fused Pallas kernel: the entire online-time-warping alignment in ONE
-kernel launch.
+"""Fused Pallas kernels: online-time-warping alignment on a band-relative
+VMEM window.
 
 The XLA engine (models/online_core.py) runs the Dixon recurrence as a
-lax.scan whose every step issues ~30 small HLO ops; this kernel keeps the
-complete engine state in VMEM and executes the whole set_live loop inside a
-single ``fori_loop``.
+lax.scan whose every step issues ~30 small HLO ops; the kernels here keep
+the complete engine state in VMEM and execute many alignment steps per
+launch.  Two drivers share one set of band primitives:
 
-Round-2 redesign (the round-1 version addressed the band with *dynamic*
+- :func:`pallas_set_live` — the whole batch alignment (otw_eran.py:91-142)
+  in ONE launch;
+- :func:`pallas_insert_block` — K streaming inserts (otw_eran.py:38-85) per
+  launch with the engine state (window, live features, path, scalars)
+  carried across launches via ``input_output_aliases`` — the fused
+  *streaming* backend (models/fused_streaming.py wraps it).
+
+Core design (round 2; the round-1 version addressed the band with dynamic
 full-width lane rotations and lost to the XLA scan at small N):
 
-- **band-relative window**: VMEM scratch ``W[a, b] = acc[t-c+a, j-c+b]`` —
-  a (c+1)×(c+1) sliding window pinned to the DP frontier.  Advancing ``t``
-  is one *static* sublane roll; advancing ``j`` one *static* lane roll
-  (Mosaic lowers static shifts natively; dynamic lane offsets would need
-  128-alignment).  Only O(c²) state, vs the reference's dense (2N, N)
-  matrices (otw_eran.py:23-27) — rows ≤ t−c / columns ≤ j−c are never read
-  again, the same banded-locality argument as SURVEY.md §5.7.
+- **band-relative window**: ``W[a, b] = acc[t-c+a, j-c+b]`` — a (c+1)×(c+1)
+  sliding window pinned to the DP frontier.  Advancing ``t`` is one *static*
+  sublane roll; advancing ``j`` one *static* lane roll (Mosaic lowers static
+  shifts natively; dynamic lane offsets would need 128-alignment).  Only
+  O(c²) state, vs the reference's dense (2N, N) matrices
+  (otw_eran.py:23-27) — rows ≤ t−c / columns ≤ j−c are never read again,
+  the same banded-locality argument as SURVEY.md §5.7.
 - **transposed features**: ref/live are stored (time, feature) with ``c``
   leading pad rows, so band feature reads are dynamic *sublane* slices
-  (allowed at any offset).  Band cost vectors come out of ``dot_general``
-  contractions directly in the orientation each update needs — row bands on
-  lanes, column bands on sublanes — with no relayouts.
+  (allowed at any offset).  Costs are elementwise multiply + balanced
+  lane-tree reductions — the same summation tree XLA emits for the engine's
+  cost matvec, so tie decisions on near-silent real audio match the XLA
+  engine bit-for-bit (an MXU dot_general accumulates sequentially and flips
+  ulp-level ties).
 - the within-band min-plus chain is a Hillis–Steele doubling scan over
   exactly c+1 positions (log₂ c static-shift stages);
 - band argmins as min + first-match, preserving the reference's
@@ -29,14 +38,13 @@ full-width lane rotations and lost to the XLA scan at small N):
 - direction logic, run-count and path commits as scalar carries, with path
   points stored to SMEM.
 
-Semantics match ``set_live_scan`` (otw_eran.py:91-142 / livenote.py:102-149);
-parity is enforced by tests against the XLA engine (interpret mode on CPU,
+Parity is enforced by tests against the XLA engine (interpret mode on CPU,
 non-interpret on hardware via tests/test_tpu_hardware.py).  The dense
 ``acc_cost`` matrix is not materialized in this backend.
 
-Measured on 1× v5e (wall, incl. one relay read): 34 ms vs the scan engine's
-111 ms at N=380, 57 vs 214 ms at N=1900 — 3.2-3.8× with exact path parity;
-the kernel body itself sweeps ~8 µs/step.
+Measured on 1× v5e (wall, incl. one relay read): set_live 34 ms vs the scan
+engine's 111 ms at N=380, 57 vs 214 ms at N=1900 — 3.2-3.8× with exact path
+parity; the kernel body itself sweeps ~8 µs/step.
 """
 
 from __future__ import annotations
@@ -98,19 +106,171 @@ def _first_min(vals, valid, iota):
     return m, k.astype(jnp.int32)
 
 
-def _make_kernel(cfg: OnlineConfig, c: int, w_sub: int, w_lane: int, n_steps: int, debug_window: bool = False):
+def _build_ops(cfg: OnlineConfig, c: int, w_sub: int, w_lane: int,
+               w_ref, ref_ref, live_ref, eye_ref, path_x_ref, path_y_ref):
+    """Shared band primitives over the window/feature/path refs."""
     sentinel = np.float32(cfg.sentinel)
     inf = np.float32(np.inf)
     two = np.float32(2.0)
 
+    lane_iota = lax.broadcasted_iota(jnp.int32, (1, w_lane), 1)
+    sub_iota = lax.broadcasted_iota(jnp.int32, (w_sub, 1), 0)
+    sent_row = jnp.full((1, w_lane), sentinel, jnp.float32)
+
+    def _to_lanes(s):
+        """Exact (w_lane, 1) → (1, w_lane) transpose: dot with the identity
+        routes each element through one 1.0 multiply and 0.0 adds.
+        Precision.HIGHEST forces the exact f32 (bf16x3) MXU path — the
+        default single-pass truncates the inputs to bf16 and loses ~3e-3,
+        which flips tie decisions on real audio."""
+        return lax.dot_general(
+            s, eye_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        )
+
+    def row_cost(t, j):
+        """(1, w_lane): cost(live t, ref j-c+b) on lanes b."""
+        live_row = live_ref[pl.ds(t + c, 1), :]  # (1, 128)
+        ref_win = ref_ref[pl.ds(j, w_lane), :]  # (w_lane, 128), row b ↔ ref j-c+b
+        if cfg.euclidean:
+            d = ref_win - live_row
+            s = jnp.sum(d * d, axis=1, keepdims=True)  # (w_lane, 1)
+            return jnp.sqrt(_to_lanes(s))
+        dots = jnp.sum(ref_win * live_row, axis=1, keepdims=True)  # (w_lane, 1)
+        return 1.0 - _to_lanes(dots)
+
+    def col_cost(t, j):
+        """(w_sub, 1): cost(live t-c+a, ref j) on sublanes a."""
+        live_win = live_ref[pl.ds(t, w_sub), :]  # (w_sub, 128), row a ↔ live t-c+a
+        ref_row = ref_ref[pl.ds(j + c, 1), :]  # (1, 128)
+        if cfg.euclidean:
+            d = live_win - ref_row
+            return jnp.sqrt(jnp.sum(d * d, axis=1, keepdims=True))
+        return 1.0 - jnp.sum(live_win * ref_row, axis=1, keepdims=True)
+
+    def append_point(x, y, plen, lastx, lasty):
+        if cfg.monotone_path:
+            ok = (plen == 0) | ((x > lastx) & (y >= lasty))
+        else:
+            ok = jnp.bool_(True)
+
+        @pl.when(ok)
+        def _():
+            path_x_ref[plen] = x.astype(jnp.int32)
+            path_y_ref[plen] = y.astype(jnp.int32)
+
+        plen = plen + ok.astype(jnp.int32)
+        lastx = jnp.where(ok, x, lastx)
+        lasty = jnp.where(ok, y, lasty)
+        return plen, lastx, lasty
+
+    def best_point(t, j):
+        """otw_eran.py:192-211 over window row c / window lane c."""
+        b0 = jnp.maximum(c - j, 1)  # band lanes [b0, c] ↔ refs [max(0,j-c+1), j]
+        row = w_ref[c : c + 1, :]
+        cost_j, bj = _first_min(row, (lane_iota >= b0) & (lane_iota <= c), lane_iota)
+        best_j = j - c + bj
+
+        a0 = jnp.maximum(c - t, 1)
+        colv = w_ref[:, c : c + 1]
+        cost_t, ak = _first_min(colv, (sub_iota >= a0) & (sub_iota <= c), sub_iota)
+        best_t = t - c + ak
+
+        use_row = cost_j < cost_t
+        return (
+            jnp.where(use_row, t, best_t).astype(jnp.int32),
+            jnp.where(use_row, best_j, j).astype(jnp.int32),
+        )
+
+    def set_direction(t, j, rc, prev, plen, lastx, lasty):
+        x, y = best_point(t, j)
+        plen, lastx, lasty = append_point(x, y, plen, lastx, lasty)
+        startup = t < c
+        forced = rc >= cfg.max_run_count
+        forced_dir = jnp.where(prev == ROW, COL, ROW)
+        free_dir = jnp.where(x < t, COL, jnp.where(y < j, ROW, BOTH))
+        d = jnp.where(startup, BOTH, jnp.where(forced, forced_dir, free_dir)).astype(jnp.int32)
+        rc = jnp.where(d == prev, rc + 1, 1).astype(jnp.int32)
+        prev = jnp.where(d != BOTH, d, prev).astype(jnp.int32)
+        return d, rc, prev, plen, lastx, lasty
+
+    def row_update(t, j):
+        """Advance the window one live row and evaluate the row band at the
+        new frame t (otw_eran.py:58-62)."""
+        w_ref[:] = pltpu.roll(w_ref[:], w_sub - 1, axis=0)  # W[a] ← W[a+1]
+        w_ref[c : c + 1, :] = sent_row  # fresh row: uncomputed sentinel
+
+        cost = row_cost(t, j)  # (1, w_lane), lane b ↔ ref k = j-c+b
+        up = w_ref[c - 1 : c, :]  # acc[t-1, j-c+b]
+        diag = pltpu.roll(up, 1, axis=1)  # acc[t-1, j-c+b-1]
+        # cell k=0 has no diagonal (otw_eran.py:233); lane 0 wraps garbage
+        diag = jnp.where((lane_iota + (j - c) == 0) | (lane_iota == 0), inf, diag)
+
+        b0 = jnp.maximum(c - j, 1)
+        band = (lane_iota >= b0) & (lane_iota <= c)
+        bvec = jnp.minimum(up + cost, diag + two * cost)
+        b_m = jnp.where(band, bvec, inf)
+        c_m = jnp.where(band, cost, inf)
+        # left neighbour of the band's first cell: the uncomputed sentinel
+        # when the band is unclamped (j >= c), no left step at all for (t, 0)
+        r_init = jnp.where(j >= c, sentinel, inf)
+        b_m = jnp.where(lane_iota == b0, jnp.minimum(b_m, r_init + c_m), b_m)
+        chain = _minplus_doubling(b_m, c_m, c + 1, axis=1)
+        w_ref[c : c + 1, :] = jnp.where(band, chain, sent_row)
+
+    def col_update(t, j):
+        """Advance the window one ref column and evaluate the column band at
+        the fresh column j (otw_eran.py:73-77)."""
+        rolled = pltpu.roll(w_ref[:], w_lane - 1, axis=1)  # W[b] ← W[b+1]
+        w_ref[:] = jnp.where(lane_iota == c, sentinel, rolled)
+
+        cost = col_cost(t, j)  # (w_sub, 1), sublane a ↔ live k = t-c+a
+        left = w_ref[:, c - 1 : c]  # acc[t-c+a, j-1]
+        diag = pltpu.roll(left, 1, axis=0)  # acc[t-c+a-1, j-1]
+        diag = jnp.where((sub_iota + (t - c) == 0) | (sub_iota == 0), inf, diag)
+
+        a0 = jnp.maximum(c - t, 1)
+        band = (sub_iota >= a0) & (sub_iota <= c)
+        bvec = jnp.minimum(left + cost, diag + two * cost)
+        b_m = jnp.where(band, bvec, inf)
+        c_m = jnp.where(band, cost, inf)
+        # 'up' neighbour of the band's first cell: acc[t-c, j] — always the
+        # sentinel, column j is fresh; no up step at all for (0, j)
+        r_init = jnp.where(t >= c, sentinel, inf)
+        b_m = jnp.where(sub_iota == a0, jnp.minimum(b_m, r_init + c_m), b_m)
+        chain = _minplus_doubling(b_m, c_m, c + 1, axis=0)
+        w_ref[:] = jnp.where((lane_iota == c) & band, chain, w_ref[:])
+
+    def eval_origin():
+        """acc[0,0] = cost(0,0) at window cell (c, c) (otw_eran.py:223-225)."""
+        lv0 = live_ref[pl.ds(c, 1), :]
+        rf0 = ref_ref[pl.ds(c, 1), :]
+        if cfg.euclidean:
+            c00 = jnp.sqrt(jnp.sum((lv0 - rf0) * (lv0 - rf0)))
+        else:
+            c00 = 1.0 - jnp.sum(lv0 * rf0)
+        w_ref[c : c + 1, :] = jnp.where(lane_iota == c, c00, sent_row)
+
+    return dict(
+        row_cost=row_cost, col_cost=col_cost, append_point=append_point,
+        best_point=best_point, set_direction=set_direction,
+        row_update=row_update, col_update=col_update, eval_origin=eval_origin,
+        sent_row=sent_row,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver 1: whole-sequence set_live (otw_eran.py:91-142)
+# ---------------------------------------------------------------------------
+
+
+def _make_set_live_kernel(cfg: OnlineConfig, c: int, w_sub: int, w_lane: int, n_steps: int, debug_window: bool = False):
     def kernel(
         lens_ref,  # SMEM (2,): [live_len, ref_len]
         ref_ref,  # VMEM (c + n_pad + w_lane, 128): ref^T, row j+c ↔ ref col j
         live_ref,  # VMEM (c + t_pad + w_sub, 128): live^T, row t+c ↔ live col t
-        eye_ref,  # VMEM (w_lane, w_lane) identity: transposes small sublane
-        #           vectors onto lanes exactly (euclidean row costs only) —
-        #           y = dot(xᵀ, I) moves each element through one 1.0
-        #           multiply and 0.0 adds, value-preserving
+        eye_ref,  # VMEM (w_lane, w_lane) identity (see _build_ops._to_lanes)
         path_x_ref,  # SMEM (p_pad,) int32
         path_y_ref,  # SMEM (p_pad,) int32
         out_scalars_ref,  # SMEM (8,) int32: plen, t, j, stopped
@@ -125,162 +285,16 @@ def _make_kernel(cfg: OnlineConfig, c: int, w_sub: int, w_lane: int, n_steps: in
         ref_len = lens_ref[1]
         live_cap = 2 * ref_len  # pre-allocated live capacity (otw_eran.py:14)
 
-        w_ref[:] = jnp.full_like(w_ref, sentinel)
-
-        lane_iota = lax.broadcasted_iota(jnp.int32, (1, w_lane), 1)
-        sub_iota = lax.broadcasted_iota(jnp.int32, (w_sub, 1), 0)
-        sent_row = jnp.full((1, w_lane), sentinel, jnp.float32)
-
-        def _to_lanes(s):
-            """Exact (w_lane, 1) → (1, w_lane) transpose: dot with the
-            identity routes each element through one 1.0 multiply and 0.0
-            adds.  Precision.HIGHEST forces the exact f32 (bf16x3) MXU path —
-            the default single-pass truncates the inputs to bf16 and loses
-            ~3e-3, which flips tie decisions on real audio."""
-            return lax.dot_general(
-                s, eye_ref[:], (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=lax.Precision.HIGHEST,
-            )
-
-        # Costs are computed as elementwise multiply + balanced lane-tree
-        # reduction — the same summation tree XLA emits for the engine's
-        # 12-feature cost matvec, so cost values (and therefore tie decisions
-        # on near-silent real audio) match the XLA engine bit-for-bit.  An
-        # MXU dot_general here accumulates sequentially along K and flips
-        # ulp-level ties.
-
-        def row_cost(t, j):
-            """(1, w_lane): cost(live t, ref j-c+b) on lanes b."""
-            live_row = live_ref[pl.ds(t + c, 1), :]  # (1, 128)
-            ref_win = ref_ref[pl.ds(j, w_lane), :]  # (w_lane, 128), row b ↔ ref j-c+b
-            if cfg.euclidean:
-                d = ref_win - live_row
-                s = jnp.sum(d * d, axis=1, keepdims=True)  # (w_lane, 1)
-                return jnp.sqrt(_to_lanes(s))
-            dots = jnp.sum(ref_win * live_row, axis=1, keepdims=True)  # (w_lane, 1)
-            return 1.0 - _to_lanes(dots)
-
-        def col_cost(t, j):
-            """(w_sub, 1): cost(live t-c+a, ref j) on sublanes a."""
-            live_win = live_ref[pl.ds(t, w_sub), :]  # (w_sub, 128), row a ↔ live t-c+a
-            ref_row = ref_ref[pl.ds(j + c, 1), :]  # (1, 128)
-            if cfg.euclidean:
-                d = live_win - ref_row
-                return jnp.sqrt(jnp.sum(d * d, axis=1, keepdims=True))
-            return 1.0 - jnp.sum(live_win * ref_row, axis=1, keepdims=True)
-
-        def append_point(x, y, plen, lastx, lasty):
-            if cfg.monotone_path:
-                ok = (plen == 0) | ((x > lastx) & (y >= lasty))
-            else:
-                ok = jnp.bool_(True)
-
-            @pl.when(ok)
-            def _():
-                path_x_ref[plen] = x.astype(jnp.int32)
-                path_y_ref[plen] = y.astype(jnp.int32)
-
-            plen = plen + ok.astype(jnp.int32)
-            lastx = jnp.where(ok, x, lastx)
-            lasty = jnp.where(ok, y, lasty)
-            return plen, lastx, lasty
-
-        def best_point(t, j):
-            """otw_eran.py:192-211 over window row c / window lane c."""
-            b0 = jnp.maximum(c - j, 1)  # band lanes [b0, c] ↔ refs [max(0,j-c+1), j]
-            row = w_ref[c : c + 1, :]
-            cost_j, bj = _first_min(row, (lane_iota >= b0) & (lane_iota <= c), lane_iota)
-            best_j = j - c + bj
-
-            a0 = jnp.maximum(c - t, 1)
-            colv = w_ref[:, c : c + 1]
-            cost_t, ak = _first_min(colv, (sub_iota >= a0) & (sub_iota <= c), sub_iota)
-            best_t = t - c + ak
-
-            use_row = cost_j < cost_t
-            return (
-                jnp.where(use_row, t, best_t).astype(jnp.int32),
-                jnp.where(use_row, best_j, j).astype(jnp.int32),
-            )
-
-        def set_direction(t, j, rc, prev, plen, lastx, lasty):
-            x, y = best_point(t, j)
-            plen, lastx, lasty = append_point(x, y, plen, lastx, lasty)
-            startup = t < c
-            forced = rc >= cfg.max_run_count
-            forced_dir = jnp.where(prev == ROW, COL, ROW)
-            free_dir = jnp.where(x < t, COL, jnp.where(y < j, ROW, BOTH))
-            d = jnp.where(startup, BOTH, jnp.where(forced, forced_dir, free_dir)).astype(jnp.int32)
-            rc = jnp.where(d == prev, rc + 1, 1).astype(jnp.int32)
-            prev = jnp.where(d != BOTH, d, prev).astype(jnp.int32)
-            return d, rc, prev, plen, lastx, lasty
-
-        def row_update(t, j):
-            """Advance the window one live row and evaluate the row band at
-            the new frame t (otw_eran.py:58-62)."""
-            w_ref[:] = pltpu.roll(w_ref[:], w_sub - 1, axis=0)  # W[a] ← W[a+1]
-            w_ref[c : c + 1, :] = sent_row  # fresh row: uncomputed sentinel
-
-            cost = row_cost(t, j)  # (1, w_lane), lane b ↔ ref k = j-c+b
-            up = w_ref[c - 1 : c, :]  # acc[t-1, j-c+b]
-            diag = pltpu.roll(up, 1, axis=1)  # acc[t-1, j-c+b-1]
-            # cell k=0 has no diagonal (otw_eran.py:233); lane 0 wraps garbage
-            diag = jnp.where((lane_iota + (j - c) == 0) | (lane_iota == 0), inf, diag)
-
-            b0 = jnp.maximum(c - j, 1)
-            band = (lane_iota >= b0) & (lane_iota <= c)
-            bvec = jnp.minimum(up + cost, diag + two * cost)
-            b_m = jnp.where(band, bvec, inf)
-            c_m = jnp.where(band, cost, inf)
-            # left neighbour of the band's first cell: the uncomputed
-            # sentinel when the band is unclamped (j >= c), no left step at
-            # all for cell (t, 0)
-            r_init = jnp.where(j >= c, sentinel, inf)
-            b_m = jnp.where(lane_iota == b0, jnp.minimum(b_m, r_init + c_m), b_m)
-            chain = _minplus_doubling(b_m, c_m, c + 1, axis=1)
-            w_ref[c : c + 1, :] = jnp.where(band, chain, sent_row)
-
-        def col_update(t, j):
-            """Advance the window one ref column and evaluate the column band
-            at the fresh column j (otw_eran.py:73-77)."""
-            rolled = pltpu.roll(w_ref[:], w_lane - 1, axis=1)  # W[b] ← W[b+1]
-            w_ref[:] = jnp.where(lane_iota == c, sentinel, rolled)
-
-            cost = col_cost(t, j)  # (w_sub, 1), sublane a ↔ live k = t-c+a
-            left = w_ref[:, c - 1 : c]  # acc[t-c+a, j-1]
-            diag = pltpu.roll(left, 1, axis=0)  # acc[t-c+a-1, j-1]
-            diag = jnp.where((sub_iota + (t - c) == 0) | (sub_iota == 0), inf, diag)
-
-            a0 = jnp.maximum(c - t, 1)
-            band = (sub_iota >= a0) & (sub_iota <= c)
-            bvec = jnp.minimum(left + cost, diag + two * cost)
-            b_m = jnp.where(band, bvec, inf)
-            c_m = jnp.where(band, cost, inf)
-            # 'up' neighbour of the band's first cell: acc[t-c, j] — always
-            # the sentinel, column j is fresh; no up step at all for (0, j)
-            r_init = jnp.where(t >= c, sentinel, inf)
-            b_m = jnp.where(sub_iota == a0, jnp.minimum(b_m, r_init + c_m), b_m)
-            chain = _minplus_doubling(b_m, c_m, c + 1, axis=0)
-            w_ref[:] = jnp.where(
-                (lane_iota == c) & band, chain, w_ref[:]
-            )
-
-        # --- initial condition: eval (0, 0) (otw_eran.py:100)
-        lv0 = live_ref[pl.ds(c, 1), :]
-        rf0 = ref_ref[pl.ds(c, 1), :]
-        if cfg.euclidean:
-            c00 = jnp.sqrt(jnp.sum((lv0 - rf0) * (lv0 - rf0)))
-        else:
-            c00 = 1.0 - jnp.sum(lv0 * rf0)
-        w_ref[c : c + 1, :] = jnp.where(lane_iota == c, c00, sent_row)
+        w_ref[:] = jnp.full_like(w_ref, np.float32(cfg.sentinel))
+        ops = _build_ops(cfg, c, w_sub, w_lane, w_ref, ref_ref, live_ref, eye_ref, path_x_ref, path_y_ref)
+        ops["eval_origin"]()
 
         def step(_, carry):
             t, j, rc, prev, plen, lastx, lasty, done = carry
 
             def body(args):
                 t, j, rc, prev, plen, lastx, lasty = args
-                d, rc, prev, plen, lastx, lasty = set_direction(t, j, rc, prev, plen, lastx, lasty)
+                d, rc, prev, plen, lastx, lasty = ops["set_direction"](t, j, rc, prev, plen, lastx, lasty)
 
                 # row step
                 do_row = d != COL
@@ -289,7 +303,7 @@ def _make_kernel(cfg: OnlineConfig, c: int, w_sub: int, w_lane: int, n_steps: in
 
                 @pl.when(do_row & ~row_done)
                 def _():
-                    row_update(t_new, j)
+                    ops["row_update"](t_new, j)
 
                 done2 = row_done
 
@@ -300,7 +314,7 @@ def _make_kernel(cfg: OnlineConfig, c: int, w_sub: int, w_lane: int, n_steps: in
 
                 @pl.when(do_col & ~col_done)
                 def _():
-                    col_update(t_new, j_new)
+                    ops["col_update"](t_new, j_new)
 
                 done2 = done2 | col_done
                 return t_new, j_new, rc, prev, plen, lastx, lasty, done2
@@ -338,7 +352,7 @@ def _pallas_set_live(ref_t_pad, live_t_pad, lens, cfg: OnlineConfig, n_steps: in
     w_lane = _round_up(c + 1, _LANES)
     w_sub = _round_up(c + 1, _SUBLANES)
     p_pad = _round_up(n_steps + 8, _LANES)
-    kernel = _make_kernel(cfg, c, w_sub, w_lane, n_steps, debug_window)
+    kernel = _make_set_live_kernel(cfg, c, w_sub, w_lane, n_steps, debug_window)
     out_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -412,3 +426,163 @@ def pallas_set_live(ref, live, params, *, monotone_path=False, euclidean=False, 
     plen = int(scalars[0])
     path = np.stack([px[:plen], py[:plen]], axis=1)
     return path, int(scalars[1]), int(scalars[2]), bool(int(scalars[3]))
+
+
+# ---------------------------------------------------------------------------
+# Driver 2: K streaming inserts per launch (otw_eran.py:38-85), state carried
+# across launches via input_output_aliases
+# ---------------------------------------------------------------------------
+
+# scalar-state slots (SMEM int32 vector)
+_S_T, _S_J, _S_RC, _S_PREV, _S_PLEN, _S_LASTX, _S_LASTY, _S_FIRST, _S_STOPPED, _S_DIR = range(10)
+_N_SCALARS = 16
+
+
+def _make_insert_kernel(cfg: OnlineConfig, c: int, w_sub: int, w_lane: int, k_block: int, interpret: bool):
+    sentinel = np.float32(cfg.sentinel)
+
+    def kernel(
+        lens_ref,  # SMEM (4,): [live_cap, ref_len, n_valid, 0]
+        ref_ref,  # VMEM ref^T (c leading pad rows)
+        cols_ref,  # VMEM (k_pad, 128): incoming chroma columns, transposed
+        eye_ref,  # VMEM identity
+        w_in, live_in, px_in, py_in, sc_in,  # aliased state (inputs)
+        w_ref, live_ref, path_x_ref, path_y_ref, sc_ref,  # aliased state (outputs)
+        status_ref,  # SMEM (8,) int32: [stopped|overflow<<1, plen, lastx, lasty]
+    ):
+        # On hardware the in/out pairs alias the same buffers; the
+        # interpreter does NOT share them, so interpret mode carries the
+        # state across with explicit copies (vector loads from the SMEM path
+        # refs are interpreter-only anyway).  The 16 scalars copy through
+        # scalar loads, legal everywhere.
+        if interpret:
+            w_ref[:] = w_in[:]
+            live_ref[:] = live_in[:]
+            path_x_ref[:] = px_in[:]
+            path_y_ref[:] = py_in[:]
+        else:
+            del w_in, live_in, px_in, py_in
+        for _s in range(_N_SCALARS):
+            sc_ref[_s] = sc_in[_s]
+        live_cap = lens_ref[0]
+        ref_len = lens_ref[1]
+        n_valid = lens_ref[2]
+
+        ops = _build_ops(cfg, c, w_sub, w_lane, w_ref, ref_ref, live_ref, eye_ref, path_x_ref, path_y_ref)
+
+        def insert(k, carry):
+            t, j, rc, prev, plen, lastx, lasty, first, stopped, direction, overflow_in = carry
+            alive = (k < n_valid) & ~stopped
+            is_first = alive & first
+
+            # --- first insert: live[:, 0] ← col, eval origin (otw_eran.py:43-48)
+            @pl.when(is_first)
+            def _():
+                live_ref[pl.ds(c, 1), :] = cols_ref[pl.ds(k, 1), :]
+                ops["eval_origin"]()
+
+            first = first & ~is_first
+
+            # --- normal insert: advance t; "ran out of room" keeps
+            # incrementing t and does nothing else (otw_eran.py:50-54)
+            is_normal = alive & ~is_first
+            t_new = jnp.where(is_normal, t + 1, t)
+            do_row = is_normal & (t_new < live_cap)
+
+            @pl.when(do_row)
+            def _():
+                live_ref[pl.ds(t_new + c, 1), :] = cols_ref[pl.ds(k, 1), :]
+                ops["row_update"](t_new, j)
+
+            # --- column phase (otw_eran.py:64-85): bounded loop; consecutive
+            # Column directions cap at max_run_count (models/online_core.py)
+            def phase(_, ph):
+                j2, rc2, prev2, plen2, lx2, ly2, stopped2, active, d2 = ph
+                do_col = active & (d2 != ROW)
+                j_new = jnp.where(do_col, j2 + 1, j2)
+                new_stop = do_col & (j_new >= ref_len)
+                do_eval = do_col & ~new_stop
+
+                @pl.when(do_eval)
+                def _():
+                    ops["col_update"](t_new, j_new)
+
+                stopped3 = stopped2 | new_stop
+                do_dir = active & ~new_stop
+
+                def with_dir(args):
+                    j_new, rc2, prev2, plen2, lx2, ly2 = args
+                    d3, rc3, prev3, plen3, lx3, ly3 = ops["set_direction"](
+                        t_new, j_new, rc2, prev2, plen2, lx2, ly2
+                    )
+                    return j_new, rc3, prev3, plen3, lx3, ly3, d3
+
+                def no_dir(args):
+                    j_new, rc2, prev2, plen2, lx2, ly2 = args
+                    return j_new, rc2, prev2, plen2, lx2, ly2, d2
+
+                j_new, rc2, prev2, plen2, lx2, ly2, d3 = lax.cond(
+                    do_dir, with_dir, no_dir, (j_new, rc2, prev2, plen2, lx2, ly2)
+                )
+                active = do_dir & (d3 == COL)
+                return j_new, rc2, prev2, plen2, lx2, ly2, stopped3, active, d3
+
+            ph = (j, rc, prev, plen, lastx, lasty, stopped, do_row, direction)
+            j, rc, prev, plen, lastx, lasty, stopped, still_active, direction = lax.fori_loop(
+                0, cfg.loop_iters, phase, ph
+            )
+            overflow = overflow_in | still_active  # loop bound violated (never, by design)
+            return t_new, j, rc, prev, plen, lastx, lasty, first, stopped, direction, overflow
+
+        carry = (
+            sc_ref[_S_T], sc_ref[_S_J], sc_ref[_S_RC], sc_ref[_S_PREV],
+            sc_ref[_S_PLEN], sc_ref[_S_LASTX], sc_ref[_S_LASTY],
+            sc_ref[_S_FIRST] != 0, sc_ref[_S_STOPPED] != 0, sc_ref[_S_DIR],
+            jnp.bool_(False),
+        )
+        t, j, rc, prev, plen, lastx, lasty, first, stopped, direction, overflow = lax.fori_loop(
+            0, k_block, insert, carry
+        )
+        sc_ref[_S_T] = t
+        sc_ref[_S_J] = j
+        sc_ref[_S_RC] = rc
+        sc_ref[_S_PREV] = prev
+        sc_ref[_S_PLEN] = plen
+        sc_ref[_S_LASTX] = lastx
+        sc_ref[_S_LASTY] = lasty
+        sc_ref[_S_FIRST] = first.astype(jnp.int32)
+        sc_ref[_S_STOPPED] = stopped.astype(jnp.int32)
+        sc_ref[_S_DIR] = direction
+        status_ref[0] = stopped.astype(jnp.int32) | (overflow.astype(jnp.int32) << 1)
+        status_ref[1] = plen
+        status_ref[2] = lastx
+        status_ref[3] = lasty
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("cfg", "k_block", "interpret"), donate_argnames=("w", "live_t", "path_x", "path_y", "scalars"))
+def _pallas_insert_block(lens, ref_t_pad, cols, w, live_t, path_x, path_y, scalars, cfg: OnlineConfig, k_block: int, interpret: bool = False):
+    c = cfg.c
+    w_lane = _round_up(c + 1, _LANES)
+    w_sub = _round_up(c + 1, _SUBLANES)
+    kernel = _make_insert_kernel(cfg, c, w_sub, w_lane, k_block, interpret)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[smem, vmem, vmem, vmem, vmem, vmem, smem, smem, smem],
+        out_specs=(vmem, vmem, smem, smem, smem, smem),
+        out_shape=(
+            jax.ShapeDtypeStruct(w.shape, jnp.float32),
+            jax.ShapeDtypeStruct(live_t.shape, jnp.float32),
+            jax.ShapeDtypeStruct(path_x.shape, jnp.int32),
+            jax.ShapeDtypeStruct(path_y.shape, jnp.int32),
+            jax.ShapeDtypeStruct(scalars.shape, jnp.int32),
+            jax.ShapeDtypeStruct((8,), jnp.int32),
+        ),
+        # inputs (lens, ref, cols, eye, w, live_t, px, py, sc) → outputs
+        # (w', live_t', px', py', sc', status): state buffers alias in place
+        input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3, 8: 4},
+        interpret=interpret,
+    )(lens, ref_t_pad, cols, jnp.eye(w_lane, dtype=jnp.float32), w, live_t, path_x, path_y, scalars)

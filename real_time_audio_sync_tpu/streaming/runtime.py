@@ -72,6 +72,8 @@ class ScoreFollower:
         dtype=np.float32,
         use_blocks: bool = False,
         pipelined: bool = False,
+        fused: bool = False,
+        fused_interpret: bool = False,
     ):
         from real_time_audio_sync_tpu.eval.corpus import DEFAULT_PARAMS
         from real_time_audio_sync_tpu.features.chroma import wav_to_chroma
@@ -85,11 +87,29 @@ class ScoreFollower:
         # poll the compact status vector instead of fetching the path — the
         # mode that sustains ≥100× real time on relay-attached TPUs where any
         # device→host read costs a ~27 ms round-trip
-        self.pipelined = pipelined
+        self.pipelined = pipelined or fused
+        # fused: the persistent-state Pallas insert kernel
+        # (models/fused_streaming.py) instead of the XLA scan engine —
+        # implies pipelined; ``fused_interpret`` runs the kernel in the
+        # Pallas interpreter (CPU tests)
+        self.fused = fused
 
         ref_seq = wav_to_chroma(ref_wav, dtype=dtype)
-        cls = {"otw": OnlineTimeWarping, "livenote": LiveNote, "livenote_v2": LiveNoteV2}[engine]
-        self.engine = cls(ref_seq, self.params, dtype=dtype)
+        if fused:
+            from real_time_audio_sync_tpu.models import FusedStreamingEngine
+
+            overrides = {
+                "otw": dict(),
+                "livenote": dict(sentinel=float("inf"), run_count_init=0),
+                "livenote_v2": dict(sentinel=float("inf"), run_count_init=0, monotone_path=True),
+            }[engine]
+            self.engine = FusedStreamingEngine(
+                ref_seq, self.params, cfg_overrides=overrides, interpret=fused_interpret
+            )
+            self.engine.dtype = np.float32  # fused kernel is f32-only
+        else:
+            cls = {"otw": OnlineTimeWarping, "livenote": LiveNote, "livenote_v2": LiveNoteV2}[engine]
+            self.engine = cls(ref_seq, self.params, dtype=dtype)
 
         csv_path = ref_wav[:-4] + ".csv"
         self.ground_truth = GroundTruth.from_csv(csv_path) if os.path.exists(csv_path) else None

@@ -1,0 +1,84 @@
+"""Fused streaming engine (persistent-state Pallas inserts) vs the XLA
+engine — interpret mode on CPU; hardware parity in tests/test_tpu_hardware.py."""
+
+import numpy as np
+import pytest
+
+from real_time_audio_sync_tpu.models import OnlineTimeWarping
+from real_time_audio_sync_tpu.models.fused_streaming import FusedStreamingEngine
+
+from tests.test_online import _make_pair, _unit_cols
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode():
+    from jax.experimental.pallas import tpu as pltpu
+
+    ctx = pltpu.force_tpu_interpret_mode()
+    ctx.__enter__()
+    yield
+    ctx.__exit__(None, None, None)
+
+
+PARAMS = {"c": 10, "max_run_count": 3}
+
+
+@pytest.mark.parametrize("seed,block", [(0, 8), (1, 1), (2, 5)])
+def test_fused_streaming_matches_xla_engine(seed, block):
+    rng = np.random.default_rng(seed)
+    ref, live = _make_pair(rng, n_ref=48, stretch=1.25)
+    xla = OnlineTimeWarping(ref, PARAMS, dtype=np.float32)
+    for i in range(live.shape[1]):
+        if xla.insert(live[:, i]) == "stop":
+            break
+
+    fused = FusedStreamingEngine(ref, PARAMS, k_block=8, interpret=True)
+    for s in range(0, live.shape[1], block):
+        fused.insert_block_nowait(live[:, s : s + block])
+    fused.flush()
+    np.testing.assert_array_equal(fused.path_array, xla.path_array)
+
+
+def test_fused_streaming_stop_and_freeze():
+    rng = np.random.default_rng(4)
+    ref, live = _make_pair(rng, n_ref=32, stretch=1.0)
+    extra = _unit_cols(rng.random((12, 30)) + 0.05)
+    live = np.concatenate([live, extra], axis=1)
+
+    xla = OnlineTimeWarping(ref, PARAMS, dtype=np.float32)
+    for i in range(live.shape[1]):
+        if xla.insert(live[:, i]) == "stop":
+            break
+
+    fused = FusedStreamingEngine(ref, PARAMS, k_block=8, interpret=True)
+    for s in range(0, live.shape[1], 8):
+        fused.insert_block_nowait(live[:, s : s + 8])
+    assert fused.flush() == "stop"
+    assert fused.insert_block_nowait(live[:, :8]) == "stop"  # cached verdict
+    np.testing.assert_array_equal(fused.path_array, xla.path_array)
+    plen, x, y = fused.last_point
+    assert plen == len(fused.path)
+    assert (x, y) == tuple(fused.path[-1])
+
+
+def test_fused_streaming_livenote_v2_variant():
+    rng = np.random.default_rng(5)
+    ref, live = _make_pair(rng, n_ref=40)
+    ref_d = np.clip(np.diff(ref, axis=1), 0, np.inf)
+    live_d = np.clip(np.diff(live, axis=1), 0, np.inf)
+    from real_time_audio_sync_tpu.models import LiveNoteV2
+
+    xla = LiveNoteV2(
+        ref_d, {"search_band_width": 10, "max_run_count": 3}, chroma_diff=True, dtype=np.float32
+    )
+    for i in range(live_d.shape[1]):
+        if xla.insert(live_d[:, i]) == "stop":
+            break
+    fused = FusedStreamingEngine(
+        ref_d, PARAMS, interpret=True,
+        cfg_overrides=dict(sentinel=float("inf"), run_count_init=0, monotone_path=True, euclidean=True),
+    )
+    for s in range(0, live_d.shape[1], 8):
+        fused.insert_block_nowait(live_d[:, s : s + 8])
+    fused.flush()
+    np.testing.assert_array_equal(fused.path_array, xla.path_array)

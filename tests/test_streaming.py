@@ -198,6 +198,25 @@ def test_cursor3d_and_cellipse():
     assert "●" in frame
 
 
+def test_score_follower_fused_backend(chopin_pair):
+    """The fused-kernel streaming backend through the full follower pipeline
+    (interpret mode on CPU) commits the same path as the XLA engine."""
+    ref_wav, live_wav = chopin_pair
+    xla = ScoreFollower(ref_wav, engine="otw", params={"c": 50, "max_run_count": 3}, dtype=np.float32)
+    fused = ScoreFollower(
+        ref_wav, engine="otw", params={"c": 50, "max_run_count": 3},
+        fused=True, fused_interpret=True,
+    )
+    for f in (xla, fused):
+        f.start()
+        for buf in SimulatedMic(live_wav, buffer_size=8192):
+            f.receive_audio(buf)
+            if f.stopped:
+                break
+        f.stop()
+    assert [tuple(p) for p in fused.path] == [tuple(p) for p in xla.path]
+
+
 def test_combine_buffers_empty():
     assert combine_buffers([]).size == 0
 

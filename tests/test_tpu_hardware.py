@@ -39,6 +39,18 @@ P = {{"c": 50, "max_run_count": 3}}
 eng = OnlineTimeWarping(ref, P); eng.set_live(live)
 path, t, j, stopped = pallas_set_live(ref, live, P)
 assert np.array_equal(path, eng.path_array), "pallas_otw path mismatch"
+
+# fused streaming engine (persistent-state Pallas inserts) vs XLA streaming
+from real_time_audio_sync_tpu.models import FusedStreamingEngine
+xla = OnlineTimeWarping(ref, P)
+for i in range(live.shape[1]):
+    if xla.insert(live[:, i]) == "stop":
+        break
+fused = FusedStreamingEngine(ref.astype(np.float32), P, k_block=8)
+for s in range(0, live.shape[1], 8):
+    fused.insert_block_nowait(live[:, s:s+8].astype(np.float32))
+fused.flush()
+assert np.array_equal(fused.path_array, xla.path_array), "fused streaming path mismatch"
 print("TPU_PARITY_PASS")
 """
 
