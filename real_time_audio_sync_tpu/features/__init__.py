@@ -1,6 +1,8 @@
 from real_time_audio_sync_tpu.features.chroma import (  # noqa: F401
     chroma_from_samples,
     chroma_frames,
+    create_chroma,
+    create_stft,
     wav_to_chroma,
     wav_to_chroma_col,
     wav_to_chroma_diff,

@@ -186,6 +186,37 @@ def wav_to_chroma_col(wav_buf: np.ndarray, dtype=np.float32) -> np.ndarray:
     return np.asarray(chroma_frames(frames))[:, 0]
 
 
+def create_stft(wav: np.ndarray, dtype=np.float32) -> np.ndarray:
+    """Reference ``create_stft`` (chroma.py:44-65): complex one-sided STFT,
+    (1 + fft_len/2, T).  Same centered-pad/truncation semantics as the
+    pipeline; the rfft runs as the two DFT matmuls (re − i·im)."""
+    wav_np = np.asarray(wav)
+    t = num_frames(wav_np.shape[0])
+    if t <= 0:
+        return np.zeros((FFT_LEN // 2 + 1, 0), complex)
+    win, dft_cos, dft_sin, _ = frontend_constants(FFT_LEN, FS, dtype)
+    x = np.concatenate([np.zeros(FFT_LEN // 2, np.dtype(dtype)), wav_np.astype(dtype)])
+    idx = np.arange(t)[:, None] * HOP_SIZE + np.arange(FFT_LEN)[None, :]
+    frames = jnp.asarray(x[idx])
+    wf = frames * win[None, :]
+    re = np.asarray(wf @ dft_cos)
+    im = np.asarray(wf @ dft_sin)
+    return (re - 1j * im).T  # (K, T)
+
+
+def create_chroma(ft: np.ndarray, normalize: bool = True, dtype=np.float32) -> np.ndarray:
+    """Reference ``create_chroma`` (chroma.py:67-75): one-sided spectrum →
+    power → filterbank projection → optional per-frame L2 normalization."""
+    spec = jnp.asarray(np.abs(np.asarray(ft)) ** 2, dtype)
+    _, _, _, fb_t = frontend_constants(FFT_LEN, FS, dtype)
+    raw = (spec.T @ fb_t).T  # (12, T)
+    if not normalize:
+        return np.asarray(raw)
+    norm = jnp.sqrt(jnp.sum(raw * raw, axis=0, keepdims=True))
+    tiny = jnp.asarray(np.finfo(np.dtype(dtype)).tiny, dtype)
+    return np.asarray(raw / jnp.where(norm < tiny, jnp.ones_like(norm), norm))
+
+
 def wav_to_chroma_diff(path_to_wav: str, dtype=np.float32) -> np.ndarray:
     """Reference ``wav_to_chroma_diff`` (chroma.py:77-90): half-wave-rectified
     temporal difference of the normalized chroma."""

@@ -38,6 +38,23 @@ def test_bucketed_compile_is_exact_and_shared(random_wav):
     assert jchroma.compiled_bucket_count() <= before + 1
 
 
+def test_create_stft_and_create_chroma_match_oracle(random_wav):
+    """The reference's intermediate API surface (chroma.py:44-75): complex
+    STFT and spectrum→chroma, exposed for parity with create_stft /
+    create_chroma."""
+    from tests.oracle import oracle_chroma
+
+    wav = random_wav[: 22050 * 2]
+    ft = jchroma.create_stft(wav, dtype=np.float64)
+    want = oracle_stft(wav)
+    assert ft.shape == want.shape == (2049, jchroma.num_frames(len(wav)))
+    np.testing.assert_allclose(ft, want, rtol=1e-9, atol=1e-9)
+    chroma = jchroma.create_chroma(ft, dtype=np.float64)
+    np.testing.assert_allclose(chroma, oracle_chroma(wav), rtol=1e-8, atol=1e-10)
+    raw = jchroma.create_chroma(ft, normalize=False, dtype=np.float64)
+    assert np.all(np.linalg.norm(raw, axis=0) != 1.0)  # unnormalized variant
+
+
 def test_chroma_matches_oracle_f64(random_wav):
     ours = jchroma.chroma_from_samples(random_wav, dtype=np.float64)
     ref = oracle_chroma(random_wav)
