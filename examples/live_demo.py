@@ -1,0 +1,113 @@
+"""End-to-end live score-following demo: the livenote_live.py experience
+(SURVEY.md §2 C11) as a terminal app on the TPU-native stack.
+
+A simulated microphone streams the live recording through the pipelined
+ScoreFollower (optionally the fused Pallas streaming backend); the duplex
+audio output plays a click track at the reference's annotated beats into a
+wav file (the speaker stand-in); the terminal shows the input level meter,
+the beat/rehearsal-label readout and a positional cursor across the score.
+
+Usage::
+
+    python examples/live_demo.py [--ref REF.wav] [--live LIVE.wav]
+        [--engine otw] [--fused] [--interpret] [--out-dir DIR] [--quiet]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# honor JAX_PLATFORMS despite the container's sitecustomize override
+if os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
+import numpy as np
+
+DEFAULT_REF = "/root/reference/Songs/chopin/chopin_rubinstein_20b.wav"
+DEFAULT_LIVE = "/root/reference/Songs/chopin/chopin_rachmaninoff_20b.wav"
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--ref", default=DEFAULT_REF)
+    ap.add_argument("--live", default=DEFAULT_LIVE)
+    ap.add_argument("--engine", default="otw", choices=["otw", "livenote", "livenote_v2"])
+    ap.add_argument("--fused", action="store_true", help="fused Pallas streaming backend")
+    ap.add_argument("--interpret", action="store_true", help="Pallas interpreter (CPU)")
+    ap.add_argument("--out-dir", default=None, help="write field log + click wav here")
+    ap.add_argument("--realtime", action="store_true", help="pace the mic at the audio clock")
+    ap.add_argument("--quiet", action="store_true")
+    args = ap.parse_args(argv)
+
+    from real_time_audio_sync_tpu.eval.ground_truth import GroundTruth
+    from real_time_audio_sync_tpu.streaming import ScoreFollower, SimulatedMic
+    from real_time_audio_sync_tpu.streaming.audio_io import ClickTrack, DuplexAudio, WavFileSink
+    from real_time_audio_sync_tpu.streaming.display import Cursor3D, MeterDisplay
+
+    follower = ScoreFollower(
+        args.ref,
+        engine=args.engine,
+        params={"c": 50, "max_run_count": 3},  # livenote_live.py:94
+        log_dir=args.out_dir,
+        pipelined=True,
+        fused=args.fused,
+        fused_interpret=args.interpret,
+    )
+    n_ref_frames = max(1, follower.engine.n if args.fused else len(np.asarray(follower.engine.ref)[0]))
+
+    # duplex output: click track at the reference's annotated beats
+    duplex = None
+    if args.out_dir:
+        gt = GroundTruth.from_csv(args.ref[:-4] + ".csv")
+        sink = WavFileSink(os.path.join(args.out_dir, "click_track.wav"))
+        duplex = DuplexAudio(sink=sink)
+        duplex.set_generator(ClickTrack(gt.times))
+
+    meter = MeterDisplay()
+    cursor = Cursor3D(area_size=(1.0, 1.0), area_pos=(0.0, 0.0), size_range=(0.0, 1.0))
+
+    follower.start()
+    hops = 0
+    for buf in SimulatedMic(args.live, buffer_size=2048, realtime=args.realtime):
+        events = follower.receive_audio(buf)
+        if duplex is not None:
+            duplex.on_update()
+        hops += 1
+        if events and not args.quiet and hops % 40 == 0:
+            e = events[-1]
+            meter.set(follower.meter.db)
+            cursor.set_pos(np.array([e.ref_frame / n_ref_frames, 0.5, 0.5]))
+            beat = f"beat {e.beat:7.2f}" if e.beat is not None else "beat    ?  "
+            label = f" [{e.label}]" if e.label else ""
+            print(f"{meter.render()}  frame {e.live_frame:4d}->{e.ref_frame:4d}  {beat}{label}")
+            print(cursor.render(cols=64, rows=3))
+        if follower.stopped:
+            break
+    log_path = follower.stop()
+    while duplex is not None and duplex.generator is not None:
+        duplex.on_update()
+    if duplex is not None:
+        duplex.close()
+
+    path = follower.path
+    print(f"followed {hops} buffers -> {len(path)} path points; "
+          f"final position frame {path[-1][1] if path else 0}/{n_ref_frames}")
+    if log_path:
+        print(f"field log: {log_path}")
+    summary = follower.latency.summary()
+    if summary:
+        print(f"insert dispatch p50 {summary['p50_ms']:.2f} ms over {summary['count']} hops")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

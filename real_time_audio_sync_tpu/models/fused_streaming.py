@@ -19,6 +19,7 @@ hardware-verified in tests/test_tpu_hardware.py).
 
 from __future__ import annotations
 
+import time
 from typing import Optional
 
 import jax
@@ -97,6 +98,10 @@ class FusedStreamingEngine:
         self._status = None
         self._stopped_cached = False
         self._last_point = None
+        # rate-limit non-blocking status reads (a ~27 ms relay round-trip
+        # each); stop detection lags by at most this interval
+        self.poll_min_interval = 0.25
+        self._last_poll_time = 0.0
 
     # -- pipelined streaming API (mirrors BandedOnlineEngine) ----------------
 
@@ -135,8 +140,13 @@ class FusedStreamingEngine:
             return "stop"
         if self._status is None:
             return None
-        if not block and not self._status.is_ready():
-            return None
+        if not block:
+            now = time.monotonic()
+            if now - self._last_poll_time < self.poll_min_interval:
+                return None
+            if not self._status.is_ready():
+                return None
+            self._last_poll_time = now
         vec = np.asarray(self._status)
         self._status = None
         self._last_point = (int(vec[1]), int(vec[2]), int(vec[3]))

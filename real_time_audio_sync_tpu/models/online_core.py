@@ -27,6 +27,7 @@ control flow, every shape static, the whole insert is one XLA program.
 from __future__ import annotations
 
 import dataclasses
+import time
 from functools import partial
 from typing import NamedTuple
 
@@ -448,6 +449,11 @@ class BandedOnlineEngine:
         self._status = None  # newest un-read status vector (device array)
         self._stopped_cached = False
         self._last_point = None  # (path_len, x, y) from the last status read
+        # minimum seconds between non-blocking status reads: each read is a
+        # ~27 ms relay round-trip, so an eager poll per hop would serialize
+        # the pipeline; stop detection lags by at most this interval
+        self.poll_min_interval = 0.25
+        self._last_poll_time = 0.0
 
     # -- reference API surface ---------------------------------------------
 
@@ -515,8 +521,13 @@ class BandedOnlineEngine:
             return "stop"
         if self._status is None:
             return None
-        if not block and not self._status.is_ready():
-            return None
+        if not block:
+            now = time.monotonic()
+            if now - self._last_poll_time < self.poll_min_interval:
+                return None
+            if not self._status.is_ready():
+                return None
+            self._last_poll_time = now
         return self._consume_status(np.asarray(self._status))
 
     def flush(self):

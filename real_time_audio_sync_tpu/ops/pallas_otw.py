@@ -8,10 +8,16 @@ launch.  Two drivers share one set of band primitives:
 
 - :func:`pallas_set_live` — the whole batch alignment (otw_eran.py:91-142)
   in ONE launch;
-- :func:`pallas_insert_block` — K streaming inserts (otw_eran.py:38-85) per
+- :func:`_pallas_insert_block` — K streaming inserts (otw_eran.py:38-85) per
   launch with the engine state (window, live features, path, scalars)
   carried across launches via ``input_output_aliases`` — the fused
-  *streaming* backend (models/fused_streaming.py wraps it).
+  *streaming* backend (models/fused_streaming.py wraps it).  CAUTION:
+  aliasing is not reliably honored through jit on every platform (observed:
+  interleaving any unrelated dispatch between launches handed the "aliased"
+  VMEM outputs fresh uninitialized buffers), so the kernel defensively
+  self-copies the VMEM state in→out; the SMEM path buffers carry correctly
+  under all tested interleavings (hardware regression in
+  tests/test_tpu_hardware.py).
 
 Core design (round 2; the round-1 version addressed the band with dynamic
 full-width lane rotations and lost to the XLA scan at small N):
@@ -450,18 +456,20 @@ def _make_insert_kernel(cfg: OnlineConfig, c: int, w_sub: int, w_lane: int, k_bl
         w_ref, live_ref, path_x_ref, path_y_ref, sc_ref,  # aliased state (outputs)
         status_ref,  # SMEM (8,) int32: [stopped|overflow<<1, plen, lastx, lasty]
     ):
-        # On hardware the in/out pairs alias the same buffers; the
-        # interpreter does NOT share them, so interpret mode carries the
-        # state across with explicit copies (vector loads from the SMEM path
-        # refs are interpreter-only anyway).  The 16 scalars copy through
-        # scalar loads, legal everywhere.
+        # input_output_aliases is NOT reliably honored through jit on every
+        # platform (observed: interleaving any unrelated dispatch between
+        # launches hands the "aliased" outputs fresh uninitialized buffers),
+        # so the VMEM state copies in→out unconditionally (self-copy no-ops
+        # when aliasing does hold) and the 16 scalars copy through scalar
+        # loads (legal everywhere).  Vector loads from the SMEM path refs
+        # are interpreter-only.
+        w_ref[:] = w_in[:]
+        live_ref[:] = live_in[:]
         if interpret:
-            w_ref[:] = w_in[:]
-            live_ref[:] = live_in[:]
             path_x_ref[:] = px_in[:]
             path_y_ref[:] = py_in[:]
         else:
-            del w_in, live_in, px_in, py_in
+            del px_in, py_in
         for _s in range(_N_SCALARS):
             sc_ref[_s] = sc_in[_s]
         live_cap = lens_ref[0]

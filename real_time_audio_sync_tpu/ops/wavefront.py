@@ -5,7 +5,10 @@ double loops (dtw.py:32-40, wtw.py:201-215).  On TPU the same recurrence is
 reformulated as a `lax.scan` over the M+N−1 anti-diagonals: every cell of a
 diagonal depends only on the two previous diagonals, so each scan step is one
 fully vectorized VPU update of up to min(M, N) cells — no data-dependent
-control flow, static shapes throughout.
+control flow, static shapes throughout.  (The same wavefront decomposition —
+with the two-previous-diagonals linear-memory property — is the basis of
+exact parallelizable DTW in Tralie & Dempsey, "Exact, Parallelizable Dynamic
+Time Warping Alignment with Linear Memory", arXiv:2008.02734.)
 
 Two step conventions exist in the reference and are captured as
 :class:`StepSpec`:

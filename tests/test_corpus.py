@@ -80,6 +80,27 @@ def test_cli_unknown_engine(chopin_pair):
         main(["--ref", ref_wav, "--live", live_wav, "--engine", "nope"])
 
 
+def test_live_demo_example_runs(chopin_pair, tmp_path):
+    """The livenote_live-equivalent terminal demo (C11) runs end-to-end with
+    the fused backend, writing a field log and the click-track wav."""
+    import subprocess
+    import sys
+
+    ref_wav, live_wav = chopin_pair
+    proc = subprocess.run(
+        [sys.executable, "examples/live_demo.py", "--ref", ref_wav,
+         "--live", live_wav, "--fused", "--interpret", "--quiet",
+         "--out-dir", str(tmp_path)],
+        capture_output=True, text=True, timeout=600,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu", "RTAS_NO_COMPILE_CACHE": "1"},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "path points" in proc.stdout
+    logs = list(tmp_path.glob("otw_test_live_*.txt"))
+    assert logs, proc.stdout
+    assert (tmp_path / "click_track.wav").stat().st_size > 10_000
+
+
 def test_heatmap_example_runs(chopin_pair, tmp_path):
     """The notebook-equivalent example renders end-to-end (C18 parity)."""
     import subprocess

@@ -96,6 +96,35 @@ def test_set_live_matches_oracle(name, cls, kw, seed):
     np.testing.assert_array_equal(engine.path_array, opath)
 
 
+@pytest.mark.parametrize("c,mrc", [(3, 3), (10, 1), (25, 5), (10, 2)])
+def test_config_sweep_matches_oracle(c, mrc):
+    """Band-width / slope-constraint sweep incl. the degenerate edges: c=3
+    (heavily clamped bands), max_run_count=1 (direction forced to alternate
+    every step, otw_eran.py:168-170)."""
+    rng = np.random.default_rng(100 + c + mrc)
+    ref, live = _make_pair(rng, n_ref=40, stretch=1.3)
+    engine = OnlineTimeWarping(ref, {"c": c, "max_run_count": mrc}, dtype=np.float64)
+    oracle = OracleOTW(ref, c, mrc, variant="otw")
+    for i in range(live.shape[1]):
+        got = engine.insert(live[:, i])
+        want = oracle.insert(live[:, i])
+        assert got == want
+        if got == "stop":
+            break
+    assert [tuple(p) for p in engine.path] == [tuple(p) for p in oracle.path]
+
+    # the fused Pallas kernel (interpret mode) under the same config
+    from jax.experimental.pallas import tpu as pltpu
+
+    from real_time_audio_sync_tpu.ops.pallas_otw import pallas_set_live
+
+    batch = OnlineTimeWarping(ref, {"c": c, "max_run_count": mrc}, dtype=np.float32)
+    batch.set_live(live)
+    with pltpu.force_tpu_interpret_mode():
+        path, t, j, stopped = pallas_set_live(ref, live, {"c": c, "max_run_count": mrc})
+    np.testing.assert_array_equal(path, batch.path_array)
+
+
 @pytest.mark.parametrize("name,cls,kw", ENGINES)
 def test_set_live_after_inserts_matches_oracle(name, cls, kw):
     """set_live after streaming inserts: OnlineTimeWarping resets pointers/

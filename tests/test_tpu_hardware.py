@@ -51,6 +51,19 @@ for s in range(0, live.shape[1], 8):
     fused.insert_block_nowait(live[:, s:s+8].astype(np.float32))
 fused.flush()
 assert np.array_equal(fused.path_array, xla.path_array), "fused streaming path mismatch"
+
+# regression: UNRELATED dispatches interleaved between the state-carrying
+# launches must not corrupt the persistent VMEM state (aliasing is not
+# reliably honored through jit — the kernel self-copies defensively)
+from real_time_audio_sync_tpu.features.chroma import chroma_frames
+import jax.numpy as jnp
+dummy = np.zeros((1, 4096), np.float32)
+fused2 = FusedStreamingEngine(ref.astype(np.float32), P, k_block=8)
+for i in range(live.shape[1]):
+    chroma_frames(jnp.asarray(dummy))
+    fused2.insert_block_nowait(live[:, i:i+1].astype(np.float32))
+fused2.flush()
+assert np.array_equal(fused2.path_array, xla.path_array), "interleaved-dispatch corruption"
 print("TPU_PARITY_PASS")
 """
 
