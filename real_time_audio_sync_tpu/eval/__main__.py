@@ -32,6 +32,9 @@ def main(argv=None) -> int:
     ap.add_argument("--ref-csv", help="ground-truth CSV for --score-log (reference side)")
     ap.add_argument("--live-csv", help="ground-truth CSV for --score-log (live side)")
     ap.add_argument("--dtype", default="float32", choices=["float32", "float64"])
+    ap.add_argument("--mode", default="insert", choices=["insert", "fused"],
+                    help="insert: stream frame-by-frame (reference harness regime); "
+                         "fused: whole alignment per pair through the fused Pallas kernel (fast sweeps)")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -56,7 +59,7 @@ def main(argv=None) -> int:
     if args.corpus:
         from real_time_audio_sync_tpu.eval.corpus import CorpusRunner
 
-        runner = CorpusRunner(args.corpus, args.engine or "livenote_v2_diff", dtype=dtype)
+        runner = CorpusRunner(args.corpus, args.engine or "livenote_v2_diff", dtype=dtype, mode=args.mode)
         runner.evaluate(field_log=args.field_log)
         return 0
 
@@ -64,7 +67,7 @@ def main(argv=None) -> int:
         from real_time_audio_sync_tpu.eval.corpus import ENGINES, align_pair, run_simple
 
         if args.engine:
-            result = align_pair(args.ref, args.live, args.engine, dtype=dtype)
+            result = align_pair(args.ref, args.live, args.engine, dtype=dtype, mode=args.mode)
             s = result.score
             for t in (1, 3, 5, 10):
                 print(f"Percent incorrect (within {t} beat{'s' if t > 1 else ''}): {s.pct_off_beats[t]} %")

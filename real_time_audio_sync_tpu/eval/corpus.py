@@ -60,8 +60,16 @@ def align_pair(
     engine: str = "livenote_v2_diff",
     params: Optional[dict] = None,
     dtype=np.float32,
+    mode: str = "insert",
 ) -> PairResult:
-    """Align one recording pair with the chosen engine and score it."""
+    """Align one recording pair with the chosen engine and score it.
+
+    ``mode``: "insert" streams frame-by-frame (the reference harness regime,
+    tests.py:160-163); "fused" runs the whole alignment through the fused
+    Pallas set_live kernel in one launch (~30 µs/frame on a v5e — the fast
+    path for large corpus sweeps; set_live's direction-first loop can commit
+    slightly different best points than streaming insert, exactly as in the
+    reference where test_simple.py scores both regimes)."""
     from real_time_audio_sync_tpu.features.chroma import wav_to_chroma, wav_to_chroma_diff
     from real_time_audio_sync_tpu.models import (
         DTW,
@@ -90,6 +98,30 @@ def align_pair(
         p = params or DEFAULT_PARAMS
         if engine == "dtw":
             _, _, path = DTW(live_seq, ref_seq, dtype=dtype)
+        elif mode == "fused":
+            import contextlib
+
+            import jax
+            from jax.experimental.pallas import tpu as pltpu
+
+            from real_time_audio_sync_tpu.ops.pallas_otw import pallas_set_live
+
+            # CPU platforms run the kernel in the Pallas interpreter
+            ctx = (
+                pltpu.force_tpu_interpret_mode()
+                if jax.devices()[0].platform == "cpu"
+                else contextlib.nullcontext()
+            )
+            variant = {
+                "otw": dict(),
+                "livenote": dict(sentinel=float("inf"), run_count_init=0),
+                "livenote_v2": dict(sentinel=float("inf"), run_count_init=0, monotone_path=True),
+                "livenote_v2_diff": dict(
+                    sentinel=float("inf"), run_count_init=0, monotone_path=True, euclidean=True
+                ),
+            }[engine]
+            with ctx:
+                path, _, _, _ = pallas_set_live(ref_seq, live_seq, p, **variant)
         elif engine == "otw":
             path = _streaming_path(OnlineTimeWarping(ref_seq, p, dtype=dtype), live_seq)
         elif engine == "livenote":
@@ -145,11 +177,12 @@ class CorpusReport:
 class CorpusRunner:
     """``test_all`` parity (tests.py:199-262)."""
 
-    def __init__(self, recordings_dir: str, engine: str = "livenote_v2_diff", params: Optional[dict] = None, dtype=np.float32):
+    def __init__(self, recordings_dir: str, engine: str = "livenote_v2_diff", params: Optional[dict] = None, dtype=np.float32, mode: str = "insert"):
         self.recordings_dir = recordings_dir
         self.engine = engine
         self.params = params
         self.dtype = dtype
+        self.mode = mode  # "insert" (reference regime) | "fused" (fast sweeps)
 
     def evaluate(self, field_log: Optional[str] = None, verbose: bool = True) -> CorpusReport:
         results: List[PairResult] = []
@@ -158,7 +191,7 @@ class CorpusRunner:
             if not (os.path.exists(ref_wav) and os.path.exists(live_wav)):
                 skipped.append((ref_wav, live_wav))
                 continue
-            result = align_pair(ref_wav, live_wav, self.engine, self.params, self.dtype)
+            result = align_pair(ref_wav, live_wav, self.engine, self.params, self.dtype, mode=self.mode)
             results.append(result)
             if verbose:
                 s = result.score

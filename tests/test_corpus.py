@@ -80,6 +80,22 @@ def test_cli_unknown_engine(chopin_pair):
         main(["--ref", ref_wav, "--live", live_wav, "--engine", "nope"])
 
 
+def test_align_pair_fused_mode(chopin_pair):
+    """The fused corpus fast path produces the set_live-regime path and
+    scores in the field regime (0-4% >1 beat)."""
+    from real_time_audio_sync_tpu.eval.corpus import align_pair
+    from real_time_audio_sync_tpu.models import OnlineTimeWarping
+    from real_time_audio_sync_tpu.features.chroma import wav_to_chroma
+
+    ref_wav, live_wav = chopin_pair
+    res = align_pair(ref_wav, live_wav, "otw", {"c": 50, "max_run_count": 3}, mode="fused")
+    assert res.score.pct_off_beats[3] == 0.0
+    # matches the XLA engine's set_live path exactly
+    eng = OnlineTimeWarping(wav_to_chroma(ref_wav), {"c": 50, "max_run_count": 3})
+    eng.set_live(wav_to_chroma(live_wav))
+    np.testing.assert_array_equal(res.path, eng.path_array)
+
+
 def test_live_demo_example_runs(chopin_pair, tmp_path):
     """The livenote_live-equivalent terminal demo (C11) runs end-to-end with
     the fused backend, writing a field log and the click-track wav."""
