@@ -110,6 +110,25 @@ def _window_dtw(x, y, use_pallas: bool = False):
     return acc, points, length
 
 
+@partial(jax.jit, static_argnames=("w", "use_pallas"), donate_argnames=())
+def _window_dtw_at(live_dev, ref_dev, live_ptr, ref_ptr, w: int, use_pallas: bool):
+    """Window alignment sliced on-device: keeps the live chromagram
+    device-resident so streaming never synchronizes per hop."""
+    f = live_dev.shape[0]
+    zero = jnp.zeros((), live_ptr.dtype)
+    x = jax.lax.dynamic_slice(live_dev, (zero, live_ptr), (f, w))
+    y = jax.lax.dynamic_slice(ref_dev, (zero, ref_ptr), (f, w))
+    return _window_dtw(x, y, use_pallas=use_pallas)
+
+
+@partial(jax.jit, donate_argnames=("live_dev",))
+def _append_cols(live_dev, cols, ptr):
+    """live_dev[:, ptr:ptr+K] ← cols, in place (donated) — one async
+    dispatch per hop batch, no device→host read."""
+    zero = jnp.zeros((), ptr.dtype) if hasattr(ptr, "dtype") else 0
+    return jax.lax.dynamic_update_slice(live_dev, cols.astype(live_dev.dtype), (zero, ptr))
+
+
 class WTW:
     def __init__(self, ref_recording, params, debug_params=None, dtype=None, keep_acc_canvas=True):
         self.params = WTWParams.from_any(params)
@@ -133,7 +152,11 @@ class WTW:
         self.N = self.chroma_ref.shape[1] * 2  # live capacity (rows)
         self.M = self.chroma_ref.shape[1]  # ref length (cols)
 
-        self.chroma_live = np.zeros((12, self.N), self.dtype)
+        # live chromagram lives ON DEVICE: per-hop column appends are async
+        # dispatches and windows slice it in-program, so streaming never
+        # pays a device→host read per hop (only per committed window)
+        self._live_dev = jax.device_put(jnp.zeros((12, self.N), self.dtype))
+        self._ref_dev = jax.device_put(jnp.asarray(self.chroma_ref))
         # dense accumulated-cost canvas for parity/visualization: windows are
         # pasted in as they are computed (wtw.py:105).  Optional — for long
         # streams where the O(N·M) canvas is unwanted, pass
@@ -172,20 +195,25 @@ class WTW:
         w = self._w
         while len(self.buf) >= self.fft_len:
             # batch-extract every currently available column in one device
-            # call; buffer consumption then replays the reference's
-            # one-col-per-iteration bookkeeping exactly
+            # call and append them to the device-resident chromagram
+            # asynchronously; buffer consumption then replays the reference's
+            # one-col-per-iteration bookkeeping exactly (host counters only)
             n_cols = (len(self.buf) - self.fft_len) // self.hop_size + 1
             avail = self.buf.view((n_cols - 1) * self.hop_size + self.fft_len)
             frames = np.lib.stride_tricks.sliding_window_view(avail, self.fft_len)[
                 :: self.hop_size
             ]
-            cols = np.asarray(chroma_frames(jnp.asarray(frames)))  # (12, n_cols)
+            cols = chroma_frames(jnp.asarray(frames, self.dtype))  # (12, n_cols), device
+            room = self.N - self.chroma_ptr
+            if room > 0:
+                self._live_dev = _append_cols(
+                    self._live_dev, cols[:, :room], np.int32(self.chroma_ptr)
+                )
 
             for k in range(n_cols):
                 self.buf.consume(self.hop_size)
                 if self.chroma_ptr >= self.N:
                     return "stop"  # live buffer capacity exhausted
-                self.chroma_live[:, self.chroma_ptr] = cols[:, k]
                 self.chroma_ptr += 1
 
                 if self.ref_ptr >= (self.M - 1 - w) or self.live_ptr >= (self.N - 1 - w):
@@ -195,18 +223,36 @@ class WTW:
                     self._run_window()
         return None
 
+    @property
+    def chroma_live(self) -> np.ndarray:
+        """Host view of the device-resident live chromagram (synchronizes)."""
+        return np.asarray(self._live_dev)
+
+    @chroma_live.setter
+    def chroma_live(self, value) -> None:
+        self._live_dev = jax.device_put(jnp.asarray(np.asarray(value), self.dtype))
+
     # ------------------------------------------------------------------
     def _run_window(self):
-        """One w×w window DTW + subpath commit (wtw.py:100-128)."""
+        """One w×w window DTW + subpath commit (wtw.py:100-128); the window
+        slices the device-resident chromagrams in-program."""
         w = self._w
-        x = self.chroma_live[:, self.live_ptr : self.live_ptr + w]
-        y = self.chroma_ref[:, self.ref_ptr : self.ref_ptr + w]
-        acc, points, length = _window_dtw(x, y, use_pallas=self._use_pallas)
+        acc, points, length = _window_dtw_at(
+            self._live_dev, self._ref_dev,
+            np.int32(self.live_ptr), np.int32(self.ref_ptr),
+            w, self._use_pallas,
+        )
+        # one batched device→host fetch (sequential reads pay a relay
+        # round-trip each); the acc window transfers only when the canvas is
+        # kept
         if self.keep_acc_canvas:
+            acc_np, points_np, length_np = jax.device_get((acc, points, length))
             self.acc_cost[
                 self.live_ptr : self.live_ptr + w, self.ref_ptr : self.ref_ptr + w
-            ] = np.asarray(acc)
-        subpath = np.asarray(points)[: int(length)][::-1]  # origin → end
+            ] = acc_np
+        else:
+            points_np, length_np = jax.device_get((points, length))
+        subpath = points_np[: int(length_np)][::-1]  # origin → end
 
         next_start = self._hop_frames
         change = False
