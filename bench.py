@@ -238,6 +238,30 @@ def main() -> int:
     except Exception as e:
         log(f"3-minute diagnostic skipped ({e})")
 
+    # --- 7b. WTW raw-audio streaming (device-resident chromagram)
+    try:
+        from real_time_audio_sync_tpu.models import WTW
+        from real_time_audio_sync_tpu.utils.wavio import load_wav
+
+        wtw_params = {"fft_len": 4096, "hop_size": 2048,
+                      "dtw_win_size": 4096 * 10, "dtw_hop_size": 2048 * 10}
+        live_raw, _ = load_wav(LIVE_WAV)
+        bufs = np.array_split(live_raw, 4096)
+
+        def run_wtw():
+            eng = WTW(REF_WAV, wtw_params)
+            t0 = time.perf_counter()
+            for b in bufs:
+                if eng.insert(b) == "stop":
+                    break
+            return time.perf_counter() - t0
+
+        run_wtw()  # compile
+        wtw_wall = min(run_wtw() for _ in range(2))
+        log(f"WTW raw-audio streaming: {wtw_wall*1e3:.0f} ms -> RTF {audio_sec/wtw_wall:.0f}x")
+    except Exception as e:
+        log(f"WTW diagnostic skipped ({e})")
+
     # --- 8a. fused single-kernel OTW (ops/pallas_otw.py): the whole batch
     # alignment in one Pallas launch with O(c²) banded VMEM state
     try:

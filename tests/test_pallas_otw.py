@@ -67,6 +67,20 @@ def test_pallas_v2_monotone_euclidean():
     np.testing.assert_array_equal(path, xla.path_array)
 
 
+def test_pallas_wide_band_crosses_lane_tile():
+    """c > 127 makes the window span multiple 128-lane tiles (w_lane=256);
+    the static rolls/masks must stay exact across the tile boundary."""
+    from real_time_audio_sync_tpu.ops.pallas_otw import pallas_set_live
+
+    rng = np.random.default_rng(6)
+    ref, live = _make_pair(rng, n_ref=150, stretch=1.2)
+    params = {"c": 130, "max_run_count": 3}
+    xla = OnlineTimeWarping(ref, params, dtype=np.float32)
+    xla.set_live(live)
+    path, t, j, stopped = pallas_set_live(ref, live, params)
+    np.testing.assert_array_equal(path, xla.path_array)
+
+
 def test_pallas_ref_exhaustion_stop():
     from real_time_audio_sync_tpu.ops.pallas_otw import pallas_set_live
 
