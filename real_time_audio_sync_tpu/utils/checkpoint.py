@@ -40,6 +40,38 @@ def load_state(engine: BandedOnlineEngine, path: str) -> None:
     engine.state = OnlineState(**fields)
 
 
+def save_fused_state(engine, path: str) -> None:
+    """Snapshot a FusedStreamingEngine (window, live features, path,
+    scalars — models/fused_streaming.py) to ``path`` (.npz)."""
+    w, live_t, px, py, sc = np.asarray(engine._state[0]), *map(np.asarray, engine._state[1:])
+    np.savez_compressed(
+        path, ref_t=np.asarray(engine.ref_t), w=w, live_t=live_t,
+        path_x=px, path_y=py, scalars=sc,
+        stopped=np.int32(engine._stopped_cached),
+    )
+
+
+def load_fused_state(engine, path: str) -> None:
+    """Restore a snapshot into a compatibly-constructed fused engine."""
+    import jax
+    import jax.numpy as jnp
+
+    data = np.load(path)
+    if data["ref_t"].shape != engine.ref_t.shape or not np.array_equal(
+        data["ref_t"], np.asarray(engine.ref_t)
+    ):
+        raise ValueError("checkpoint was taken against a different reference sequence")
+    for name, cur in zip(("w", "live_t", "path_x", "path_y", "scalars"), engine._state):
+        if data[name].shape != cur.shape:
+            raise ValueError(f"checkpoint field {name!r} has shape {data[name].shape}, engine expects {cur.shape}")
+    engine._state = jax.device_put(
+        tuple(jnp.asarray(data[n]) for n in ("w", "live_t", "path_x", "path_y", "scalars"))
+    )
+    engine._status = None
+    engine._stopped_cached = bool(int(data["stopped"]))
+    engine._last_point = None
+
+
 def save_wtw_state(wtw, path: str) -> None:
     """Snapshot a WTW engine mid-stream (host-side state; models/wtw.py)."""
     acc = wtw.acc_cost if wtw.acc_cost is not None else np.empty((0, 0), wtw.dtype)

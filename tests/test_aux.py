@@ -60,6 +60,40 @@ def test_checkpoint_resume_mid_stream(tmp_path):
     assert resumed.live_ptr == full.live_ptr
 
 
+def test_fused_engine_checkpoint_resume(tmp_path):
+    """Checkpoint/resume of the fused streaming engine's persistent device
+    state (window, live features, path, scalars)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from real_time_audio_sync_tpu.models.fused_streaming import FusedStreamingEngine
+    from real_time_audio_sync_tpu.utils.checkpoint import load_fused_state, save_fused_state
+
+    rng = np.random.default_rng(18)
+    ref, live = _make_pair(rng)
+    params = {"c": 10, "max_run_count": 3}
+    half = (live.shape[1] // 2 // 4) * 4  # block-aligned split
+
+    with pltpu.force_tpu_interpret_mode():
+        full = FusedStreamingEngine(ref, params, k_block=4, interpret=True)
+        for s in range(0, live.shape[1], 4):
+            full.insert_block_nowait(live[:, s : s + 4])
+        full.flush()
+
+        first = FusedStreamingEngine(ref, params, k_block=4, interpret=True)
+        for s in range(0, half, 4):
+            first.insert_block_nowait(live[:, s : s + 4])
+        first.flush()
+        ckpt = str(tmp_path / "fused.npz")
+        save_fused_state(first, ckpt)
+
+        resumed = FusedStreamingEngine(ref, params, k_block=4, interpret=True)
+        load_fused_state(resumed, ckpt)
+        for s in range(half, live.shape[1], 4):
+            resumed.insert_block_nowait(live[:, s : s + 4])
+        resumed.flush()
+        np.testing.assert_array_equal(resumed.path_array, full.path_array)
+
+
 def test_checkpoint_wrong_reference_rejected(tmp_path):
     rng = np.random.default_rng(18)
     ref, live = _make_pair(rng)
