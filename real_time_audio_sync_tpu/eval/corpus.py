@@ -82,6 +82,14 @@ def align_pair(
 
     if engine not in ENGINES:
         raise ValueError(f"unknown engine {engine!r}; choose from {ENGINES}")
+    if mode not in ("insert", "fused"):
+        raise ValueError(f"unknown mode {mode!r}; choose 'insert' or 'fused'")
+    if mode == "fused":
+        if engine in ("wtw", "dtw"):
+            raise ValueError(f"mode='fused' applies to the online engines; {engine!r} has no fused backend")
+        if np.dtype(dtype) != np.float32:
+            raise ValueError("mode='fused' runs the float32 Pallas kernel; use dtype=float32 "
+                             "(the insert mode supports float64)")
 
     if engine == "wtw":
         wtw = WTW(ref_wav, params or DEFAULT_WTW_PARAMS, dtype=dtype)
@@ -104,6 +112,7 @@ def align_pair(
             import jax
             from jax.experimental.pallas import tpu as pltpu
 
+            from real_time_audio_sync_tpu.models.online_core import ENGINE_OVERRIDES
             from real_time_audio_sync_tpu.ops.pallas_otw import pallas_set_live
 
             # CPU platforms run the kernel in the Pallas interpreter
@@ -112,16 +121,8 @@ def align_pair(
                 if jax.devices()[0].platform == "cpu"
                 else contextlib.nullcontext()
             )
-            variant = {
-                "otw": dict(),
-                "livenote": dict(sentinel=float("inf"), run_count_init=0),
-                "livenote_v2": dict(sentinel=float("inf"), run_count_init=0, monotone_path=True),
-                "livenote_v2_diff": dict(
-                    sentinel=float("inf"), run_count_init=0, monotone_path=True, euclidean=True
-                ),
-            }[engine]
             with ctx:
-                path, _, _, _ = pallas_set_live(ref_seq, live_seq, p, **variant)
+                path, _, _, _ = pallas_set_live(ref_seq, live_seq, p, **ENGINE_OVERRIDES[engine])
         elif engine == "otw":
             path = _streaming_path(OnlineTimeWarping(ref_seq, p, dtype=dtype), live_seq)
         elif engine == "livenote":

@@ -19,7 +19,6 @@ hardware-verified in tests/test_tpu_hardware.py).
 
 from __future__ import annotations
 
-import time
 from typing import Optional
 
 import jax
@@ -27,7 +26,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from real_time_audio_sync_tpu.config import OTWParams
-from real_time_audio_sync_tpu.models.online_core import BOTH, PREV_NONE, OnlineConfig
+from real_time_audio_sync_tpu.models.online_core import (
+    BOTH,
+    ENGINE_OVERRIDES,
+    PREV_NONE,
+    OnlineConfig,
+    StatusPolling,
+)
 from real_time_audio_sync_tpu.ops.pallas_otw import (
     _LANES,
     _N_SCALARS,
@@ -44,7 +49,7 @@ from real_time_audio_sync_tpu.ops.pallas_otw import (
 )
 
 
-class FusedStreamingEngine:
+class FusedStreamingEngine(StatusPolling):
     """Streams chroma columns through the fused Pallas insert kernel."""
 
     dtype = np.dtype(np.float32)  # the kernel is f32-only
@@ -55,7 +60,7 @@ class FusedStreamingEngine:
         # carries state across with explicit copies there
         self.interpret = bool(interpret)
         p = OTWParams.from_any(params)
-        over = dict(sentinel=1e10, run_count_init=1, monotone_path=False, euclidean=False)
+        over = dict(ENGINE_OVERRIDES["otw"])
         over.update(cfg_overrides or {})
         self.cfg = OnlineConfig(c=p.c, max_run_count=p.max_run_count, **over)
         self.k_block = int(k_block)
@@ -95,13 +100,7 @@ class FusedStreamingEngine:
                 jnp.asarray(scalars),
             )
         )
-        self._status = None
-        self._stopped_cached = False
-        self._last_point = None
-        # rate-limit non-blocking status reads (a ~27 ms relay round-trip
-        # each); stop detection lags by at most this interval
-        self.poll_min_interval = 0.25
-        self._last_poll_time = 0.0
+        self._init_status_polling()  # shared lazy status-vector machinery
 
     # -- pipelined streaming API (mirrors BandedOnlineEngine) ----------------
 
@@ -132,37 +131,6 @@ class FusedStreamingEngine:
         return None
 
     insert_nowait = insert_block_nowait  # a single column is a K=1 block
-
-    def poll(self, block: bool = False):
-        """Non-blocking "stop" check against the newest status vector; the
-        read itself is one relay round-trip, so callers poll at hop cadence."""
-        if self._stopped_cached:
-            return "stop"
-        if self._status is None:
-            return None
-        if not block:
-            now = time.monotonic()
-            if now - self._last_poll_time < self.poll_min_interval:
-                return None
-            if not self._status.is_ready():
-                return None
-            self._last_poll_time = now
-        vec = np.asarray(self._status)
-        self._status = None
-        self._last_point = (int(vec[1]), int(vec[2]), int(vec[3]))
-        if int(vec[0]) & 2:  # pragma: no cover - design invariant
-            raise AssertionError("column-phase loop bound violated")
-        if int(vec[0]) & 1:
-            self._stopped_cached = True
-            return "stop"
-        return None
-
-    def flush(self):
-        return self.poll(block=True)
-
-    @property
-    def last_point(self):
-        return self._last_point
 
     @property
     def path_array(self):

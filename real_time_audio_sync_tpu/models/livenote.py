@@ -8,7 +8,7 @@ and unused, as in the reference (livenote.py:5).
 
 from __future__ import annotations
 
-from real_time_audio_sync_tpu.models.online_core import BandedOnlineEngine
+from real_time_audio_sync_tpu.models.online_core import ENGINE_OVERRIDES, BandedOnlineEngine
 
 
 class LiveNote(BandedOnlineEngine):
@@ -17,7 +17,7 @@ class LiveNote(BandedOnlineEngine):
         super().__init__(
             ref,
             params,
-            dict(sentinel=float("inf"), run_count_init=0, monotone_path=False, euclidean=False),
+            dict(ENGINE_OVERRIDES["livenote"]),
             dtype=dtype,
             exact_chain=exact_chain,
         )

@@ -9,7 +9,7 @@ instead of the cosine cost (livenote_v2.py:167-170).
 
 from __future__ import annotations
 
-from real_time_audio_sync_tpu.models.online_core import BandedOnlineEngine
+from real_time_audio_sync_tpu.models.online_core import ENGINE_OVERRIDES, BandedOnlineEngine
 
 
 class LiveNoteV2(BandedOnlineEngine):
@@ -18,12 +18,7 @@ class LiveNoteV2(BandedOnlineEngine):
         super().__init__(
             ref,
             params,
-            dict(
-                sentinel=float("inf"),
-                run_count_init=0,
-                monotone_path=True,
-                euclidean=bool(chroma_diff),
-            ),
+            dict(ENGINE_OVERRIDES["livenote_v2_diff" if chroma_diff else "livenote_v2"]),
             dtype=dtype,
             exact_chain=exact_chain,
         )

@@ -49,6 +49,69 @@ from real_time_audio_sync_tpu.ops.band import (
 ROW, COL, BOTH = 0, 1, 2
 PREV_NONE = -1
 
+# Per-engine config deltas (SURVEY.md §7 hard part 2) — the single source
+# used by the engine subclasses, the fused backends, the follower runtime
+# and the fused corpus mode.
+ENGINE_OVERRIDES = {
+    "otw": dict(sentinel=1e10, run_count_init=1, monotone_path=False, euclidean=False),
+    "livenote": dict(sentinel=float("inf"), run_count_init=0, monotone_path=False, euclidean=False),
+    "livenote_v2": dict(sentinel=float("inf"), run_count_init=0, monotone_path=True, euclidean=False),
+    "livenote_v2_diff": dict(sentinel=float("inf"), run_count_init=0, monotone_path=True, euclidean=True),
+}
+
+
+class StatusPolling:
+    """Lazy polling of the engines' int32[4] status vector
+    ``[stopped | overflow<<1, path_len, last_x, last_y]`` — shared by the
+    XLA and fused streaming engines.
+
+    Non-blocking reads are rate-limited (each is a ~27 ms relay round-trip
+    on tunneled TPUs; an eager poll per hop would serialize the pipeline),
+    so stop detection lags by at most ``poll_min_interval`` seconds."""
+
+    def _init_status_polling(self) -> None:
+        self._status = None  # newest un-read status vector (device array)
+        self._stopped_cached = False
+        self._last_point = None  # (path_len, x, y) from the last status read
+        self.poll_min_interval = 0.25
+        self._last_poll_time = 0.0
+
+    def poll(self, block: bool = False):
+        """Check the newest status vector; returns ``"stop"`` or None."""
+        if self._stopped_cached:
+            return "stop"
+        if self._status is None:
+            return None
+        if not block:
+            now = time.monotonic()
+            if now - self._last_poll_time < self.poll_min_interval:
+                return None
+            if not self._status.is_ready():
+                return None
+            self._last_poll_time = now
+        return self._consume_status(np.asarray(self._status))
+
+    def flush(self):
+        """Wait for all in-flight inserts; returns ``"stop"`` or None."""
+        return self.poll(block=True)
+
+    def _consume_status(self, vec):
+        self._status = None
+        flags = int(vec[0])
+        self._last_point = (int(vec[1]), int(vec[2]), int(vec[3]))
+        if flags & 2:  # pragma: no cover - design invariant
+            raise AssertionError("column-phase loop bound violated")
+        if flags & 1:
+            self._stopped_cached = True
+            return "stop"
+        return None
+
+    @property
+    def last_point(self):
+        """(path_len, live, ref) from the most recent status read — the
+        current score position (== path[-1]) without fetching the path."""
+        return self._last_point
+
 
 @dataclasses.dataclass(frozen=True)
 class OnlineConfig:
@@ -417,7 +480,7 @@ set_live_scan = partial(
 # ---------------------------------------------------------------------------
 
 
-class BandedOnlineEngine:
+class BandedOnlineEngine(StatusPolling):
     """Host wrapper: owns the device state, streams frames through the jitted
     step, exposes the reference attribute surface (.path, .acc_cost, ...)."""
 
@@ -444,16 +507,9 @@ class BandedOnlineEngine:
         self.ref = jax.device_put(jnp.asarray(ref, dtype))
         self.state = init_state(self.ref, self.cfg, dtype)
         self._batch_mode = False
-        # pipelined-streaming bookkeeping: the newest status vector ("stop"
-        # is sticky, so only the latest one matters) and the cached verdict
-        self._status = None  # newest un-read status vector (device array)
-        self._stopped_cached = False
-        self._last_point = None  # (path_len, x, y) from the last status read
-        # minimum seconds between non-blocking status reads: each read is a
-        # ~27 ms relay round-trip, so an eager poll per hop would serialize
-        # the pipeline; stop detection lags by at most this interval
-        self.poll_min_interval = 0.25
-        self._last_poll_time = 0.0
+        # pipelined-streaming bookkeeping ("stop" is sticky, so only the
+        # newest status vector matters) — see StatusPolling
+        self._init_status_polling()
 
     # -- reference API surface ---------------------------------------------
 
@@ -508,32 +564,6 @@ class BandedOnlineEngine:
         self.state, self._status = self._dispatch_block(cols)
         return None
 
-    def poll(self, block: bool = False):
-        """Check the newest status vector; returns ``"stop"`` or None.
-
-        Non-blocking by default: the vector is read only if the device has
-        already produced it (``is_ready``, a ~30 µs check on the tunneled
-        platform; the read itself is a ~27 ms round-trip, so real-time
-        callers poll once per hop where the budget is 92.9 ms).  With
-        ``block=True`` waits for the in-flight work and gives the definitive
-        answer."""
-        if self._stopped_cached:
-            return "stop"
-        if self._status is None:
-            return None
-        if not block:
-            now = time.monotonic()
-            if now - self._last_poll_time < self.poll_min_interval:
-                return None
-            if not self._status.is_ready():
-                return None
-            self._last_poll_time = now
-        return self._consume_status(np.asarray(self._status))
-
-    def flush(self):
-        """Wait for all in-flight inserts; returns ``"stop"`` or None."""
-        return self.poll(block=True)
-
     def _dispatch_block(self, cols):
         cols = np.ascontiguousarray(cols, self.dtype)
         if cols.ndim != 2:
@@ -542,23 +572,6 @@ class BandedOnlineEngine:
 
     def _read_status(self, status):
         return self._consume_status(np.asarray(status))
-
-    def _consume_status(self, vec):
-        self._status = None
-        flags = int(vec[0])
-        self._last_point = (int(vec[1]), int(vec[2]), int(vec[3]))
-        if flags & 2:  # pragma: no cover - design invariant
-            raise AssertionError("column-phase loop bound violated")
-        if flags & 1:
-            self._stopped_cached = True
-            return "stop"
-        return None
-
-    @property
-    def last_point(self):
-        """(path_len, live, ref) from the most recent status read — the
-        current score position (== path[-1]) without fetching the path."""
-        return self._last_point
 
     def set_live(self, live):
         """Batch mode: align a full live sequence in one device dispatch.

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from real_time_audio_sync_tpu.models.online_core import BandedOnlineEngine
+from real_time_audio_sync_tpu.models.online_core import ENGINE_OVERRIDES, BandedOnlineEngine
 
 
 class OnlineTimeWarping(BandedOnlineEngine):
@@ -21,7 +21,7 @@ class OnlineTimeWarping(BandedOnlineEngine):
         super().__init__(
             ref,
             params,
-            dict(sentinel=1e10, run_count_init=1, monotone_path=False, euclidean=False),
+            dict(ENGINE_OVERRIDES["otw"]),
             dtype=dtype,
             exact_chain=exact_chain,
             reset_on_set_live=True,  # otw_eran.py:92-97

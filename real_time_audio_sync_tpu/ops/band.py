@@ -154,17 +154,6 @@ def col_update(acc, live, ref, t, j, *, c: int, sentinel: float, euclidean: bool
     return lax.dynamic_update_slice(acc, new_win[:, None], (s, j))
 
 
-def eval_origin(acc, live, ref, *, euclidean: bool):
-    """Initial condition: ``acc[0,0] = cost(0,0)`` (otw_eran.py:223-225)."""
-    f = ref.shape[0]
-    if euclidean:
-        d = live[:, 0] - ref[:, 0]
-        c00 = jnp.sqrt(jnp.sum(d * d))
-    else:
-        c00 = 1.0 - live[:, 0] @ ref[:, 0]
-    return acc.at[0, 0].set(c00)
-
-
 def eval_cell(acc, live, ref, x, y, *, euclidean: bool):
     """Single-cell DP evaluation at traced indices (otw_eran.py:215-239).
 

@@ -440,7 +440,8 @@ def pallas_set_live(ref, live, params, *, monotone_path=False, euclidean=False, 
 # ---------------------------------------------------------------------------
 
 # scalar-state slots (SMEM int32 vector)
-_S_T, _S_J, _S_RC, _S_PREV, _S_PLEN, _S_LASTX, _S_LASTY, _S_FIRST, _S_STOPPED, _S_DIR = range(10)
+(_S_T, _S_J, _S_RC, _S_PREV, _S_PLEN, _S_LASTX, _S_LASTY, _S_FIRST,
+ _S_STOPPED, _S_DIR, _S_OVERFLOW) = range(11)
 _N_SCALARS = 16
 
 
@@ -546,7 +547,8 @@ def _make_insert_kernel(cfg: OnlineConfig, c: int, w_sub: int, w_lane: int, k_bl
             sc_ref[_S_T], sc_ref[_S_J], sc_ref[_S_RC], sc_ref[_S_PREV],
             sc_ref[_S_PLEN], sc_ref[_S_LASTX], sc_ref[_S_LASTY],
             sc_ref[_S_FIRST] != 0, sc_ref[_S_STOPPED] != 0, sc_ref[_S_DIR],
-            jnp.bool_(False),
+            sc_ref[_S_OVERFLOW] != 0,  # sticky across launches — a violated
+            # loop bound must survive until the (rate-limited) status read
         )
         t, j, rc, prev, plen, lastx, lasty, first, stopped, direction, overflow = lax.fori_loop(
             0, k_block, insert, carry
@@ -561,6 +563,7 @@ def _make_insert_kernel(cfg: OnlineConfig, c: int, w_sub: int, w_lane: int, k_bl
         sc_ref[_S_FIRST] = first.astype(jnp.int32)
         sc_ref[_S_STOPPED] = stopped.astype(jnp.int32)
         sc_ref[_S_DIR] = direction
+        sc_ref[_S_OVERFLOW] = overflow.astype(jnp.int32)
         status_ref[0] = stopped.astype(jnp.int32) | (overflow.astype(jnp.int32) << 1)
         status_ref[1] = plen
         status_ref[2] = lastx

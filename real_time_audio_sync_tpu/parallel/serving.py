@@ -88,9 +88,13 @@ class MultiStreamFollower:
                     f"stream count {self.b} must be divisible by the mesh's "
                     f"{n_dev} devices (pad with inactive dummy streams)"
                 )
-            axis = mesh.axis_names[0]
+            # shard over ALL mesh axes (a multi-axis mesh partitions the
+            # batch by the full device count, matching the divisibility
+            # check — a single-axis spec would silently replicate across
+            # the remaining axes)
+            axes = tuple(mesh.axis_names)
             self._put = lambda x: jax.device_put(
-                x, NamedSharding(mesh, P(axis, *(None,) * (np.ndim(x) - 1)))
+                x, NamedSharding(mesh, P(axes, *(None,) * (np.ndim(x) - 1)))
             )
         else:
             # single chip: pass host arrays straight into the jitted call —

@@ -97,14 +97,11 @@ class ScoreFollower:
         ref_seq = wav_to_chroma(ref_wav, dtype=dtype)
         if fused:
             from real_time_audio_sync_tpu.models import FusedStreamingEngine
+            from real_time_audio_sync_tpu.models.online_core import ENGINE_OVERRIDES
 
-            overrides = {
-                "otw": dict(),
-                "livenote": dict(sentinel=float("inf"), run_count_init=0),
-                "livenote_v2": dict(sentinel=float("inf"), run_count_init=0, monotone_path=True),
-            }[engine]
             self.engine = FusedStreamingEngine(
-                ref_seq, self.params, cfg_overrides=overrides, interpret=fused_interpret
+                ref_seq, self.params, cfg_overrides=ENGINE_OVERRIDES[engine],
+                interpret=fused_interpret,
             )
             self.engine.dtype = np.float32  # fused kernel is f32-only
         else:

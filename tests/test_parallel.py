@@ -155,6 +155,26 @@ def test_multistream_sharded_over_mesh_matches_solo():
         assert bool(ms.stopped[k]) == bool(eng.state.stopped)
 
 
+def test_multistream_multi_axis_mesh_shards_fully():
+    """A 2-D mesh partitions the stream batch by the FULL device count (a
+    single-axis spec would silently replicate across the second axis)."""
+    from jax.sharding import Mesh
+    from real_time_audio_sync_tpu.parallel.serving import MultiStreamFollower
+
+    rng = np.random.default_rng(13)
+    refs = [_make_pair(rng, n_ref=24)[0] for _ in range(8)]
+    mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("x", "y"))
+    ms = MultiStreamFollower(refs, {"c": 10, "max_run_count": 3}, mesh=mesh)
+    shard_shape = ms.states.acc.sharding.shard_shape(ms.states.acc.shape)
+    assert shard_shape[0] == 1  # one stream per device, not 4x replication
+    lives = [_make_pair(rng, n_ref=24)[1] for _ in range(8)]
+    for step in range(10):
+        cols = np.stack([lv[:, step] for lv in lives])
+        ms.insert(cols)
+    t_ptrs, _ = ms.pointers()
+    assert (t_ptrs == 9).all()
+
+
 def test_multistream_mesh_requires_divisible_batch():
     from real_time_audio_sync_tpu.parallel import corpus_mesh
     from real_time_audio_sync_tpu.parallel.serving import MultiStreamFollower
