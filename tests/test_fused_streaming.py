@@ -61,6 +61,47 @@ def test_fused_streaming_stop_and_freeze():
     assert (x, y) == tuple(fused.path[-1])
 
 
+@pytest.mark.parametrize("c,mrc", [(3, 3), (10, 1), (25, 5)])
+def test_fused_streaming_config_sweep(c, mrc):
+    """Band-width / slope-constraint sweep through the persistent-state
+    streaming kernel (incl. the forced-alternation edge max_run_count=1)."""
+    rng = np.random.default_rng(200 + c + mrc)
+    ref, live = _make_pair(rng, n_ref=40, stretch=1.3)
+    params = {"c": c, "max_run_count": mrc}
+    xla = OnlineTimeWarping(ref, params, dtype=np.float32)
+    for i in range(live.shape[1]):
+        if xla.insert(live[:, i]) == "stop":
+            break
+    fused = FusedStreamingEngine(ref, params, k_block=8, interpret=True)
+    for s in range(0, live.shape[1], 8):
+        fused.insert_block_nowait(live[:, s : s + 8])
+    fused.flush()
+    np.testing.assert_array_equal(fused.path_array, xla.path_array)
+
+
+def test_fused_streaming_capacity_freeze():
+    """Live-buffer capacity exhaustion (otw_eran.py:50-54 "ran out of room"):
+    t keeps incrementing with no further evaluation — fused matches XLA on a
+    stream longer than the 2N live capacity."""
+    rng = np.random.default_rng(31)
+    ref = _unit_cols(rng.random((12, 30)) + 0.05)
+    # adversarial live: unrelated content, longer than the 2N capacity
+    live = _unit_cols(rng.random((12, 75)) + 0.05)
+    params = {"c": 10, "max_run_count": 3}
+    xla = OnlineTimeWarping(ref, params, dtype=np.float32)
+    stopped = None
+    for i in range(live.shape[1]):
+        if xla.insert(live[:, i]) == "stop":
+            stopped = i
+            break
+    fused = FusedStreamingEngine(ref, params, k_block=8, interpret=True)
+    for s in range(0, live.shape[1], 8):
+        fused.insert_block_nowait(live[:, s : s + 8])
+    status = fused.flush()
+    np.testing.assert_array_equal(fused.path_array, xla.path_array)
+    assert (status == "stop") == bool(np.asarray(xla.state.stopped))
+
+
 def test_fused_streaming_livenote_v2_variant():
     rng = np.random.default_rng(5)
     ref, live = _make_pair(rng, n_ref=40)
