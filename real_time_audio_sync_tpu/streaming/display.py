@@ -165,3 +165,23 @@ class Cursor3D:
         frac = (self.cursor.csize[0] / 2 - self.min_sz) / max(self.max_sz - self.min_sz, 1e-9)
         grid[r][c] = "·•●"[int(np.clip(frac, 0, 1) * 2.999)]
         return "\n".join("".join(row) for row in grid)
+
+
+class StatusLabel:
+    """Top-of-screen status text (ims/gfxutil.py:25-29 ``topleft_label``):
+    the live apps set ``.text`` every frame with the meter/beat/label readout
+    (livenote_live.py:156-159).  Headless: :meth:`render` returns the text
+    pinned to a fixed-width top line."""
+
+    def __init__(self, width: int = 80):
+        self.text = "text"
+        self.width = width
+
+    def render(self) -> str:
+        lines = str(self.text).splitlines() or [""]
+        return "\n".join(line[: self.width].ljust(self.width) for line in lines)
+
+
+def topleft_label(width: int = 80) -> StatusLabel:
+    """Reference factory name (ims/gfxutil.py:25)."""
+    return StatusLabel(width)

@@ -181,6 +181,15 @@ def test_click_track_generator():
     assert np.abs(out[int(0.3 * 22050) : int(0.4 * 22050)]).max() == 0.0
 
 
+def test_status_label():
+    from real_time_audio_sync_tpu.streaming.display import topleft_label
+
+    label = topleft_label(width=24)
+    label.text = "beat 12.50 [110-1]"
+    out = label.render()
+    assert out.startswith("beat 12.50 [110-1]") and len(out) == 24
+
+
 def test_cursor3d_and_cellipse():
     from real_time_audio_sync_tpu.streaming.display import CEllipse, Cursor3D
 
