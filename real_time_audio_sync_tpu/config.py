@@ -71,6 +71,19 @@ class WTWParams:
     dtw_win_size: int = 4096 * 10
     dtw_hop_size: int = 2048 * 10
 
+    def __post_init__(self):
+        # dtw_hop_size < hop_size makes the committed live advance per
+        # window 0 frames, so the reference's window loop (wtw.py:100)
+        # never terminates; reject up front (graceful deviation — the
+        # reference would hang)
+        if self.dtw_hop_size < self.hop_size:
+            raise ValueError(
+                f"dtw_hop_size ({self.dtw_hop_size}) must be >= hop_size "
+                f"({self.hop_size}): the window loop cannot advance otherwise"
+            )
+        if self.dtw_win_size < self.hop_size:
+            raise ValueError("dtw_win_size must be at least one hop")
+
     @staticmethod
     def from_any(params: "WTWParams | Mapping[str, Any]") -> "WTWParams":
         if isinstance(params, WTWParams):

@@ -85,7 +85,9 @@ def align_pair(
     if mode not in ("insert", "fused"):
         raise ValueError(f"unknown mode {mode!r}; choose 'insert' or 'fused'")
     if mode == "fused":
-        if engine in ("wtw", "dtw"):
+        from real_time_audio_sync_tpu.models.online_core import ENGINE_OVERRIDES
+
+        if engine not in ENGINE_OVERRIDES:  # the fused-capable online engines
             raise ValueError(f"mode='fused' applies to the online engines; {engine!r} has no fused backend")
         if np.dtype(dtype) != np.float32:
             raise ValueError("mode='fused' runs the float32 Pallas kernel; use dtype=float32 "

@@ -237,26 +237,18 @@ class WTW:
         """One w×w window DTW + subpath commit (wtw.py:100-128); the window
         slices the device-resident chromagrams in-program."""
         w = self._w
-        if self.ref_ptr + w > self.M or self.live_ptr + w > self.N:
-            # Edge window past the end of a chromagram: the reference's
-            # numpy slices TRUNCATE (wtw.py:101-104), so a ragged window DTW
-            # runs — a device dynamic_slice would instead clamp the start and
-            # align the window at the wrong offset.  Unreachable for valid
-            # configs (the committed live advance is exactly hop_frames ≥ 1
-            # per window, so at most one window runs per inserted column and
-            # the per-column stop margins keep slices in range), but kept as
-            # a guard: a dtw_hop_size < hop_size config would reach it.
-            x = self.chroma_live[:, self.live_ptr : self.live_ptr + w]
-            y = self.chroma_ref[:, self.ref_ptr : self.ref_ptr + w]
-            acc, points, length = _window_dtw(
-                jnp.asarray(x), jnp.asarray(y), use_pallas=self._use_pallas
-            )
-        else:
-            acc, points, length = _window_dtw_at(
-                self._live_dev, self._ref_dev,
-                np.int32(self.live_ptr), np.int32(self.ref_ptr),
-                w, self._use_pallas,
-            )
+        # Window slices never cross a chromagram end (so the device
+        # dynamic_slice never clamps): the committed live advance is exactly
+        # hop_frames ≥ 1 per window (WTWParams validates dtw_hop_size ≥
+        # hop_size), so at most one window runs per inserted column and the
+        # per-column stop margins (insert()) keep ref_ptr ≤ M-2-w and
+        # live_ptr ≤ N-2-w at window time.
+        assert self.ref_ptr + w <= self.M and self.live_ptr + w <= self.N
+        acc, points, length = _window_dtw_at(
+            self._live_dev, self._ref_dev,
+            np.int32(self.live_ptr), np.int32(self.ref_ptr),
+            w, self._use_pallas,
+        )
         # one batched device→host fetch (sequential reads pay a relay
         # round-trip each); the acc window transfers only when the canvas is
         # kept

@@ -95,6 +95,10 @@ class ScoreFollower:
         self.fused = fused
 
         ref_seq = wav_to_chroma(ref_wav, dtype=dtype)
+        if engine not in ("otw", "livenote", "livenote_v2"):
+            # the follower feeds plain chroma; the diff-feature engine
+            # (livenote_v2_diff) belongs to the corpus harness, not the live app
+            raise ValueError(f"unknown follower engine {engine!r}")
         if fused:
             from real_time_audio_sync_tpu.models import FusedStreamingEngine
             from real_time_audio_sync_tpu.models.online_core import ENGINE_OVERRIDES

@@ -158,3 +158,12 @@ def test_wtw_real_audio_accuracy(chopin_pair):
     # this offline replay currently scores 0.0% in every bucket.
     assert result.pct_off_beats[1] <= 4.1
     assert result.pct_off_beats[3] == 0.0
+
+
+def test_wtw_rejects_degenerate_hop():
+    """dtw_hop_size < hop_size would make the window loop non-advancing
+    (the reference would hang, wtw.py:100-128) — rejected up front."""
+    from real_time_audio_sync_tpu.config import WTWParams
+
+    with pytest.raises(ValueError, match="dtw_hop_size"):
+        WTWParams(fft_len=4096, hop_size=2048, dtw_win_size=4096 * 5, dtw_hop_size=1024)
