@@ -276,6 +276,22 @@ def main() -> int:
         audio5 = live5.shape[1] * HOP_SEC
         log(f"fused Pallas set_live (N=1900): {fused_wall*1e3:.0f} ms -> RTF {audio5/fused_wall:.0f}x "
             f"({fused_wall/live5.shape[1]*1e6:.0f} us/frame), path {len(fpath)} pts")
+
+        # fused STREAMING at 3-minute scale (persistent state across launches)
+        from real_time_audio_sync_tpu.models import FusedStreamingEngine
+
+        def run_fused_stream5():
+            eng = FusedStreamingEngine(ref5, PARAMS, k_block=HOP_FRAMES)
+            t0 = time.perf_counter()
+            for s in range(0, live5.shape[1], HOP_FRAMES):
+                if eng.insert_block_nowait(live5[:, s : s + HOP_FRAMES]) == "stop":
+                    break
+            eng.flush()
+            return time.perf_counter() - t0
+
+        run_fused_stream5()  # compile
+        s5 = min(run_fused_stream5() for _ in range(2))
+        log(f"fused streaming at N=1900: {s5/live5.shape[1]*1e3:.3f} ms/frame -> RTF {audio5/s5:.0f}x")
     except Exception as e:
         log(f"fused OTW kernel diagnostic skipped ({e})")
 
