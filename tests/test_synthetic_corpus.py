@@ -71,3 +71,15 @@ def test_corpus_sweep_synthetic(synthetic_corpus, engine, max_err):
         # same chord chart at ~12% tempo offset: alignment should be tight
         assert r.score.pct_off_beats[3] <= max_err, (engine, r.ref_wav, r.score.pct_off_beats)
     assert np.isfinite(report.mean_error)
+
+
+def test_corpus_sweep_fused_mode(synthetic_corpus):
+    """The fused fast path through the full corpus flow: every pair aligns
+    via the Pallas set_live kernel and scores in the same tight regime."""
+    runner = CorpusRunner(synthetic_corpus, engine="otw", mode="fused")
+    report = runner.evaluate(verbose=False)
+    assert len(report.results) == 2 and not report.skipped
+    for r in report.results:
+        assert r.score.count > 20
+        assert r.score.pct_off_beats[3] <= 10.0
+    assert np.isfinite(report.mean_error)
