@@ -259,6 +259,24 @@ def main() -> int:
         run_wtw()  # compile
         wtw_wall = min(run_wtw() for _ in range(2))
         log(f"WTW raw-audio streaming: {wtw_wall*1e3:.0f} ms -> RTF {audio_sec/wtw_wall:.0f}x")
+
+        # device-resident WTW: pointers, window DP and subpath commits all
+        # on-device, async dispatch per 8-column block (models/wtw_async.py)
+        from real_time_audio_sync_tpu.models import AsyncWTW
+
+        def run_wtw_async():
+            eng = AsyncWTW(REF_WAV, wtw_params, k_block=8)
+            t0 = time.perf_counter()
+            for b in bufs:
+                if eng.insert(b) == "stop":
+                    break
+            eng.flush()
+            return time.perf_counter() - t0, eng
+
+        run_wtw_async()  # compile
+        (wtwa_wall, wtwa_eng) = min((run_wtw_async() for _ in range(2)), key=lambda x: x[0])
+        log(f"AsyncWTW device-resident streaming: {wtwa_wall*1e3:.0f} ms -> "
+            f"RTF {audio_sec/wtwa_wall:.0f}x (host WTW {audio_sec/wtw_wall:.0f}x)")
     except Exception as e:
         log(f"WTW diagnostic skipped ({e})")
 

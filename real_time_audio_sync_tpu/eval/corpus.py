@@ -87,19 +87,28 @@ def align_pair(
     if mode == "fused":
         from real_time_audio_sync_tpu.models.online_core import ENGINE_OVERRIDES
 
-        if engine not in ENGINE_OVERRIDES:  # the fused-capable online engines
-            raise ValueError(f"mode='fused' applies to the online engines; {engine!r} has no fused backend")
+        if engine not in ENGINE_OVERRIDES and engine != "wtw":
+            raise ValueError(f"mode='fused' applies to the online engines and wtw; {engine!r} has no fused backend")
         if np.dtype(dtype) != np.float32:
-            raise ValueError("mode='fused' runs the float32 Pallas kernel; use dtype=float32 "
+            raise ValueError("mode='fused' runs the float32 device backends; use dtype=float32 "
                              "(the insert mode supports float64)")
 
     if engine == "wtw":
-        wtw = WTW(ref_wav, params or DEFAULT_WTW_PARAMS, dtype=dtype)
+        if mode == "fused":
+            # device-resident stepper: pointers, window DP and commits all
+            # on-device, async dispatch per 8-column block (models/wtw_async)
+            from real_time_audio_sync_tpu.models import AsyncWTW
+
+            wtw = AsyncWTW(ref_wav, params or DEFAULT_WTW_PARAMS, k_block=8)
+        else:
+            wtw = WTW(ref_wav, params or DEFAULT_WTW_PARAMS, dtype=dtype)
         live, fs = load_wav(live_wav)
         assert fs == 22050
         for buf in np.array_split(live, 4096):  # tests.py:186
             if wtw.insert(buf) == "stop":
                 break
+        if mode == "fused":
+            wtw.flush()
         path = wtw.path
     else:
         feature = wav_to_chroma_diff if engine == "livenote_v2_diff" else wav_to_chroma

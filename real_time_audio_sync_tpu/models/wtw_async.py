@@ -1,0 +1,286 @@
+"""AsyncWTW — device-resident windowed time warping with pipelined dispatch.
+
+The host :class:`~real_time_audio_sync_tpu.models.wtw.WTW` replays the
+reference's per-window control flow (wtw.py:71-130) on the host and therefore
+synchronizes once per committed window (a device→host read of the window
+subpath, ~27 ms on a tunneled TPU).  This engine moves the WHOLE streaming
+step on-device: the live chromagram, the live/ref/chroma pointers, the
+committed path and the stop flag are device state carried across launches,
+and each dispatch processes a block of hop columns — appends them, runs any
+due w×w window DTW (shared wavefront kernel, WTW step convention) and commits
+the subpath in-program.  The host never reads anything per hop; "stop" and
+the score position are polled lazily from a 16-byte status vector exactly
+like the fused OTW streaming engine (models/fused_streaming.py).
+
+Correctness hinges on an invariant of the reference recurrence: the window
+subpath's live coordinate is nondecreasing with unit increments from 0 to
+w−1, so the last committed point always has ``l == dtw_hop_size/hop_size``
+(every value in [0, w−1] is attained) and each window advances ``live_ptr``
+by exactly ``hop_frames`` — hence at most ONE window becomes due per inserted
+column and the reference's inner ``while`` (wtw.py:100) reduces to a single
+predicated window per column (a ``lax.cond``), keeping the step program
+fixed-shape.  The diagonal fallback (wtw.py:126-128) also advances by
+``hop_frames``, so the invariant holds in both branches.
+
+Committed paths are identical to the host WTW engine and the oracle
+(tests/test_wtw.py); only the *timing* of "stop" differs (lazy, like the
+fused OTW engine — post-stop inserts are frozen no-ops in-program).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from real_time_audio_sync_tpu.config import WTWParams
+from real_time_audio_sync_tpu.features.chroma import chroma_frames, chroma_from_samples
+from real_time_audio_sync_tpu.models.online_core import StatusPolling
+from real_time_audio_sync_tpu.models.wtw import SampleFIFO, _window_cost
+from real_time_audio_sync_tpu.ops.wavefront import WTW_SPEC, backtrack, wavefront_dp
+from real_time_audio_sync_tpu.utils.wavio import load_wav
+
+# scalar-state vector layout (int32[8])
+_W_CHROMA = 0  # columns appended so far
+_W_LIVE = 1  # live window origin (frames)
+_W_REF = 2  # ref window origin (frames)
+_W_PLEN = 3  # committed path length
+_W_FLAGS = 4  # bit0 = stopped, bit1 = path-buffer overflow
+
+
+def _make_async_wtw_step(f: int, w: int, hop_frames: int, n_cap: int, m: int,
+                         k_pad: int, use_pallas: bool):
+    """Build the jitted block step: (live_dev, ref_dev, px, py, sc, cols,
+    n_valid) → (live_dev, px, py, sc, status).  All shapes static."""
+    maxpts = 2 * w - 1  # longest possible window subpath
+
+    if use_pallas:
+        from real_time_audio_sync_tpu.ops.pallas_wavefront import wavefront_dp_pallas
+
+    def _run_window(live_dev, ref_dev, carry):
+        """One due w×w window: DP + backtrack + subpath commit
+        (wtw.py:100-128), entirely in-program."""
+        px, py, live_ptr, ref_ptr, path_len, flags = carry
+        p_cap = px.shape[0]
+        zero = jnp.int32(0)
+        x = jax.lax.dynamic_slice(live_dev, (zero, live_ptr), (f, w))
+        y = jax.lax.dynamic_slice(ref_dev, (zero, ref_ptr), (f, w))
+        cost = _window_cost(x, y)
+        if use_pallas:
+            _, back = wavefront_dp_pallas(cost, WTW_SPEC)
+        else:
+            _, back = wavefront_dp(cost, WTW_SPEC)
+        points, length = backtrack(back, WTW_SPEC)  # (maxpts, 2), end→origin
+        length = length.astype(jnp.int32)
+
+        j = jnp.arange(maxpts, dtype=jnp.int32)
+        valid = j < length
+        l_vals = points[:, 0].astype(jnp.int32)
+        # committed prefix: all points with l ≤ hop_frames (l is nondecreasing
+        # origin→end, so the count equals the prefix length) — wtw.py:110-115
+        n_c = jnp.sum(jnp.where(valid & (l_vals <= hop_frames), 1, 0)).astype(jnp.int32)
+        # origin-order point j is points[length-1-j]
+        gidx = jnp.clip(length - 1 - j, 0, maxpts - 1)
+        pts_orig = points[gidx].astype(jnp.int32)  # (maxpts, 2)
+        commit = j < n_c
+        dest = jnp.where(commit, path_len + j, p_cap)  # p_cap → dropped
+        px = px.at[dest].set(pts_orig[:, 0] + live_ptr, mode="drop")
+        py = py.at[dest].set(pts_orig[:, 1] + ref_ptr, mode="drop")
+        flags = flags | jnp.where(path_len + n_c > p_cap, 2, 0)
+        path_len = jnp.minimum(path_len + n_c, p_cap)
+
+        change = n_c < length  # some subpath point crossed the hop boundary
+        idx_pt = pts_orig[jnp.clip(n_c - 1, 0, maxpts - 1)]  # last committed
+        live_ptr = live_ptr + jnp.where(change, idx_pt[0], hop_frames)
+        ref_ptr = ref_ptr + jnp.where(change, idx_pt[1], hop_frames)
+        return (px, py, live_ptr, ref_ptr, path_len, flags)
+
+    @partial(jax.jit, donate_argnums=(0, 2, 3, 4))
+    def step(live_dev, ref_dev, px, py, sc, cols, n_valid):
+        def col_step(carry, xs):
+            live_dev, px, py, sc = carry
+            col, k = xs
+            chroma_ptr = sc[_W_CHROMA]
+            live_ptr = sc[_W_LIVE]
+            ref_ptr = sc[_W_REF]
+            path_len = sc[_W_PLEN]
+            flags = sc[_W_FLAGS]
+
+            active = (k < n_valid) & ((flags & 1) == 0)
+            # append the column (batch append of the host engine, one col at
+            # a time here; positions ≥ capacity are dropped as there)
+            can_append = active & (chroma_ptr < n_cap)
+            ptr_safe = jnp.minimum(chroma_ptr, n_cap - 1)
+            old = jax.lax.dynamic_slice(live_dev, (jnp.int32(0), ptr_safe), (f, 1))
+            newcol = jnp.where(can_append, col[:, None], old)
+            live_dev = jax.lax.dynamic_update_slice(live_dev, newcol, (jnp.int32(0), ptr_safe))
+
+            # capacity stop BEFORE the increment (wtw host engine order)
+            cap_stop = active & (chroma_ptr >= n_cap)
+            chroma_ptr = chroma_ptr + jnp.where(active & ~cap_stop, 1, 0)
+            # per-column stop margins (wtw.py window-feasibility guard)
+            margin_stop = (ref_ptr >= m - 1 - w) | (live_ptr >= n_cap - 1 - w)
+            stop_now = cap_stop | (active & ~cap_stop & margin_stop)
+            flags = flags | jnp.where(stop_now, 1, 0)
+
+            # at most one window becomes due per appended column (see module
+            # docstring); run it predicated
+            due = active & ~stop_now & (chroma_ptr - live_ptr >= w)
+            wcarry = (px, py, live_ptr, ref_ptr, path_len, flags)
+            px, py, live_ptr, ref_ptr, path_len, flags = jax.lax.cond(
+                due,
+                lambda c: _run_window(live_dev, ref_dev, c),
+                lambda c: c,
+                wcarry,
+            )
+            sc = jnp.stack([chroma_ptr, live_ptr, ref_ptr, path_len, flags,
+                            sc[5], sc[6], sc[7]])
+            return (live_dev, px, py, sc), None
+
+        xs = (cols.T, jnp.arange(k_pad, dtype=jnp.int32))
+        (live_dev, px, py, sc), _ = jax.lax.scan(col_step, (live_dev, px, py, sc), xs)
+
+        path_len = sc[_W_PLEN]
+        has = path_len > 0
+        last_i = jnp.clip(path_len - 1, 0, px.shape[0] - 1)
+        status = jnp.stack([
+            sc[_W_FLAGS],
+            path_len,
+            jnp.where(has, px[last_i], -1),
+            jnp.where(has, py[last_i], -1),
+        ]).astype(jnp.int32)
+        return live_dev, px, py, sc, status
+
+    return step
+
+
+class AsyncWTW(StatusPolling):
+    """Raw-audio streaming WTW with fully asynchronous device dispatch.
+
+    Same constructor surface as :class:`WTW` (reference wtw.py:21-69) plus
+    ``k_block`` — hop columns are buffered until ``k_block`` are available
+    and processed in one launch (``flush()`` drains the remainder).  The
+    committed path matches the host engine exactly; "stop" surfaces lazily
+    via the polled status vector."""
+
+    dtype = np.dtype(np.float32)
+
+    def __init__(self, ref_recording, params, debug_params=None, k_block: int = 8):
+        self.params = WTWParams.from_any(params)
+        self.debug_params = debug_params or {}
+        self.k_block = int(k_block)
+
+        self.ref, self.fs = load_wav(ref_recording)
+        assert self.fs == 22050
+
+        self.fft_len = self.params.fft_len
+        self.hop_size = self.params.hop_size
+        self._w = self.params.dtw_win_size // self.hop_size
+        self._hop_frames = self.params.dtw_hop_size // self.hop_size
+        assert self._hop_frames >= 1  # guaranteed by WTWParams validation
+
+        self.chroma_ref = chroma_from_samples(self.ref, dtype=self.dtype)
+        self.M = self.chroma_ref.shape[1]
+        self.N = 2 * self.M  # live capacity (wtw.py:52)
+        f = self.chroma_ref.shape[0]
+
+        self._ref_dev = jax.device_put(jnp.asarray(self.chroma_ref))
+        self._live_dev = jax.device_put(jnp.zeros((f, self.N), self.dtype))
+        # exact commit bound: ≤ maxpts per window, ≤ N/hop_frames+2 windows
+        p_cap = (self.N // self._hop_frames + 2) * (2 * self._w - 1) + 64
+        sc = np.zeros(8, np.int32)
+        self._state = (
+            jax.device_put(jnp.zeros((p_cap,), jnp.int32)),
+            jax.device_put(jnp.zeros((p_cap,), jnp.int32)),
+            jax.device_put(jnp.asarray(sc)),
+        )
+
+        from real_time_audio_sync_tpu.ops.pallas_wavefront import pallas_wavefront_supported
+
+        self._step = _make_async_wtw_step(
+            f, self._w, self._hop_frames, self.N, self.M,
+            self.k_block, pallas_wavefront_supported(None, self.dtype),
+        )
+
+        self.buf = SampleFIFO(self.dtype)
+        self._init_status_polling()
+
+    # ------------------------------------------------------------------
+    def _avail_cols(self) -> int:
+        n = len(self.buf)
+        return 0 if n < self.fft_len else (n - self.fft_len) // self.hop_size + 1
+
+    def _dispatch(self, k: int) -> None:
+        """Frame k hop columns from the FIFO and launch one block step."""
+        avail = self.buf.view((k - 1) * self.hop_size + self.fft_len)
+        frames = np.lib.stride_tricks.sliding_window_view(avail, self.fft_len)[
+            :: self.hop_size
+        ][:k]
+        if k < self.k_block:  # ragged tail: zero columns are masked by n_valid
+            frames = np.concatenate(
+                [frames, np.zeros((self.k_block - k, self.fft_len), self.dtype)]
+            )
+        cols = chroma_frames(jnp.asarray(frames, self.dtype))  # (f, k_block)
+        self.buf.consume(k * self.hop_size)
+        px, py, sc = self._state
+        self._live_dev, px, py, sc, self._status = self._step(
+            self._live_dev, self._ref_dev, px, py, sc, cols, np.int32(k)
+        )
+        self._state = (px, py, sc)
+
+    def insert(self, live_audio_buf):
+        """Insert raw audio samples; non-blocking.  Returns ``"stop"`` once a
+        polled status showed it (lazy; post-stop columns are frozen no-ops
+        in-program, so the committed path is unaffected)."""
+        self.buf.extend(live_audio_buf)
+        if self._stopped_cached or self.poll() == "stop":
+            return "stop"
+        while self._avail_cols() >= self.k_block:
+            self._dispatch(self.k_block)
+        return None
+
+    insert_nowait = insert
+
+    def flush(self):
+        """Drain whole remaining hop columns (a trailing partial window of
+        < fft_len samples stays buffered, as in the reference) and wait for
+        all in-flight launches; returns ``"stop"`` or None."""
+        k = self._avail_cols()
+        if k > 0 and not self._stopped_cached:
+            self._dispatch(k)
+        return self.poll(block=True)
+
+    def _consume_status(self, vec):
+        self._status = None
+        flags = int(vec[0])
+        self._last_point = (int(vec[1]), int(vec[2]), int(vec[3]))
+        if flags & 2:  # pragma: no cover - capacity is an exact upper bound
+            raise AssertionError("AsyncWTW path buffer overflow")
+        if flags & 1:
+            self._stopped_cached = True
+            return "stop"
+        return None
+
+    # -- inspection (each synchronizes) ---------------------------------
+    @property
+    def path_array(self) -> np.ndarray:
+        px, py, sc = jax.device_get(self._state)
+        plen = int(sc[_W_PLEN])
+        return np.stack([px[:plen], py[:plen]], axis=1)
+
+    @property
+    def path(self) -> List[tuple]:
+        return [tuple(p) for p in self.path_array]
+
+    @property
+    def pointers(self):
+        """(chroma_ptr, live_ptr, ref_ptr) — synchronizing host read."""
+        sc = np.asarray(self._state[2])
+        return int(sc[_W_CHROMA]), int(sc[_W_LIVE]), int(sc[_W_REF])
+
+    @property
+    def chroma_live(self) -> np.ndarray:
+        return np.asarray(self._live_dev)

@@ -64,6 +64,31 @@ for i in range(live.shape[1]):
     fused2.insert_block_nowait(live[:, i:i+1].astype(np.float32))
 fused2.flush()
 assert np.array_equal(fused2.path_array, xla.path_array), "interleaved-dispatch corruption"
+
+# AsyncWTW (device-resident stepper) vs host WTW.  The MXU's accumulation
+# order depends on the batch shape (a (1, 4096) DFT matmul lowers differently
+# from an (8, 4096) one and differs at ~2e-4), so the feeds are 8-column
+# aligned: both engines then see bit-identical chroma and must commit
+# bit-identical paths.  CPU tests cover arbitrary chunking (tests/test_wtw.py).
+from real_time_audio_sync_tpu.models import WTW, AsyncWTW
+from real_time_audio_sync_tpu.utils.wavio import load_wav
+wp = {{"fft_len": 4096, "hop_size": 2048, "dtw_win_size": 4096 * 10, "dtw_hop_size": 2048 * 10}}
+lraw, _ = load_wav("/root/reference/Songs/chopin/chopin_rachmaninoff_20b.wav")
+first = 4096 + 7 * 2048  # yields exactly 8 hop columns
+rest = 8 * 2048
+n_rest = (len(lraw) - first) // rest
+chunks = [lraw[:first]] + [lraw[first + i * rest : first + (i + 1) * rest] for i in range(n_rest)]
+host = WTW("/root/reference/Songs/chopin/chopin_rubinstein_20b.wav", wp)
+for ch in chunks:
+    if host.insert(ch) == "stop":
+        break
+awtw = AsyncWTW("/root/reference/Songs/chopin/chopin_rubinstein_20b.wav", wp, k_block=8)
+for ch in chunks:
+    if awtw.insert(ch) == "stop":
+        break
+awtw.flush()
+assert awtw.path == host.path, "AsyncWTW path mismatch vs host WTW"
+assert awtw.pointers == (host.chroma_ptr, host.live_ptr, host.ref_ptr), "AsyncWTW pointer mismatch"
 print("TPU_PARITY_PASS")
 """
 
@@ -79,7 +104,7 @@ def test_pallas_kernels_on_real_tpu(tmp_path):
         [sys.executable, "-c", _SCRIPT.format(repo=repo)],
         capture_output=True,
         text=True,
-        timeout=550,
+        timeout=840,
         env=env,
     )
     out = proc.stdout + proc.stderr

@@ -167,3 +167,71 @@ def test_wtw_rejects_degenerate_hop():
 
     with pytest.raises(ValueError, match="dtw_hop_size"):
         WTWParams(fft_len=4096, hop_size=2048, dtw_win_size=4096 * 5, dtw_hop_size=1024)
+
+
+# ---------------------------------------------------------------------------
+# AsyncWTW — device-resident streaming engine (models/wtw_async.py)
+
+
+def test_async_wtw_matches_host_path(wtw_pair):
+    """The fully on-device stepper commits the identical path and ends at the
+    identical pointers as the host engine (which is itself oracle-parity
+    tested above), including a ragged flush tail."""
+    from real_time_audio_sync_tpu.models.wtw_async import AsyncWTW
+
+    ref_path, live = wtw_pair
+    host = WTW(ref_path, WTW_PARAMS, dtype=np.float64)
+    for buf in np.array_split(live, 256):
+        if host.insert(buf) == "stop":
+            break
+
+    eng = AsyncWTW(ref_path, WTW_PARAMS, k_block=8)
+    for buf in np.array_split(live, 256):
+        if eng.insert(buf) == "stop":
+            break
+    eng.flush()
+    assert eng.path == host.path
+    assert eng.pointers == (host.chroma_ptr, host.live_ptr, host.ref_ptr)
+    # last_point tracks (path_len, live, ref) of the committed head
+    plen, lx, ly = eng.last_point
+    assert plen == len(host.path)
+    assert (lx, ly) == host.path[-1]
+
+
+def test_async_wtw_block_size_invariance(wtw_pair):
+    """k_block only changes dispatch batching, never the committed path."""
+    from real_time_audio_sync_tpu.models.wtw_async import AsyncWTW
+
+    ref_path, live = wtw_pair
+    paths = []
+    for k_block in (1, 16):
+        eng = AsyncWTW(ref_path, WTW_PARAMS, k_block=k_block)
+        for buf in np.array_split(live, 100):
+            if eng.insert(buf) == "stop":
+                break
+        eng.flush()
+        paths.append(eng.path)
+    assert paths[0] == paths[1]
+
+
+def test_async_wtw_stop_parity(wtw_pair):
+    """Overlong live audio: the stop flag surfaces through the status vector
+    (lazily; post-stop columns are frozen in-program) with the same final
+    path/pointers as the host engine."""
+    from real_time_audio_sync_tpu.models.wtw_async import AsyncWTW
+
+    ref_path, live = wtw_pair
+    long_live = np.concatenate([live, live, live])
+    host = WTW(ref_path, WTW_PARAMS, dtype=np.float64)
+    for buf in np.array_split(long_live, 512):
+        if host.insert(buf) == "stop":
+            break
+
+    eng = AsyncWTW(ref_path, WTW_PARAMS, k_block=8)
+    for buf in np.array_split(long_live, 512):
+        if eng.insert(buf) == "stop":
+            break
+    assert eng.flush() == "stop"
+    assert eng.insert(np.zeros(8192)) == "stop"  # sticky, like the reference
+    assert eng.path == host.path
+    assert eng.pointers[1:] == (host.live_ptr, host.ref_ptr)
