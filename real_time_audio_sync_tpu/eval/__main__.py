@@ -34,7 +34,8 @@ def main(argv=None) -> int:
     ap.add_argument("--dtype", default="float32", choices=["float32", "float64"])
     ap.add_argument("--mode", default="insert", choices=["insert", "fused"],
                     help="insert: stream frame-by-frame (reference harness regime); "
-                         "fused: whole alignment per pair through the fused Pallas kernel (fast sweeps)")
+                         "fused: whole alignment per pair through the fused device backends "
+                         "(Pallas set_live for the online engines, AsyncWTW for wtw; fast sweeps)")
     args = ap.parse_args(argv)
 
     import numpy as np

@@ -132,3 +132,16 @@ def test_heatmap_example_runs(chopin_pair, tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert out.exists() and out.stat().st_size > 10_000
+
+
+def test_align_pair_fused_wtw_matches_insert(chopin_pair):
+    """mode='fused' with engine='wtw' routes through the device-resident
+    AsyncWTW stepper; on CPU (any chunking) its committed path is identical
+    to the host WTW loop, so the pair result matches the insert mode."""
+    from real_time_audio_sync_tpu.eval.corpus import align_pair
+
+    ref_wav, live_wav = chopin_pair
+    a = align_pair(ref_wav, live_wav, "wtw", mode="insert")
+    b = align_pair(ref_wav, live_wav, "wtw", mode="fused")
+    np.testing.assert_array_equal(np.asarray(a.path), np.asarray(b.path))
+    assert a.score.pct_off_beats[1] == b.score.pct_off_beats[1]
