@@ -336,6 +336,26 @@ def main() -> int:
         t_pal = min(_t_scalar(_dp_probe, cost_big, "pallas") for _ in range(5))
         log(f"offline DTW wavefront 1900x1900: scan {t_scan*1e3:.1f} ms, "
             f"pallas kernel {t_pal*1e3:.1f} ms -> {t_scan/t_pal:.1f}x (incl ~27 ms relay read)")
+
+        # backtrack: scan pointer chase vs the in-kernel Pallas chase
+        from real_time_audio_sync_tpu.ops.pallas_wavefront import backtrack_pallas
+        from real_time_audio_sync_tpu.ops.wavefront import backtrack as _bt_scan
+
+        _, back_big = wavefront_dp_pallas(cost_big, DTW_SPEC)
+        back_big = jax.block_until_ready(back_big)
+
+        @_partial(jax.jit, static_argnames=("which",))
+        def _bt_probe(back, which):
+            f = _bt_scan if which == "scan" else backtrack_pallas
+            pts, ln = f(back, DTW_SPEC)
+            return pts.astype(jnp.int32).sum() + ln
+
+        for which in ("scan", "pallas"):
+            float(_bt_probe(back_big, which))  # compile
+        bt_scan = min(_t_scalar(_bt_probe, back_big, "scan") for _ in range(5))
+        bt_pal = min(_t_scalar(_bt_probe, back_big, "pallas") for _ in range(5))
+        log(f"DTW backtrack 1900x1900: scan {bt_scan*1e3:.1f} ms, "
+            f"pallas kernel {bt_pal*1e3:.1f} ms (incl ~27 ms relay read)")
     except Exception as e:
         log(f"pallas wavefront diagnostic skipped ({e})")
 

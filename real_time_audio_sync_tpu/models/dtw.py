@@ -45,12 +45,20 @@ def dtw_device(seq_a, seq_b, backend: str = "auto"):
     "scan", or "pallas" — both produce bit-identical acc/back matrices."""
     cost = _cosine_cost(seq_a, seq_b)
     if _use_pallas(backend, cost.dtype):
-        from real_time_audio_sync_tpu.ops.pallas_wavefront import wavefront_dp_pallas
+        from real_time_audio_sync_tpu.ops.pallas_wavefront import (
+            backtrack_pallas,
+            backtrack_pallas_supported,
+            wavefront_dp_pallas,
+        )
 
         acc, back = wavefront_dp_pallas(cost, DTW_SPEC)
+        if backtrack_pallas_supported(back.shape):
+            points, length = backtrack_pallas(back, DTW_SPEC)
+        else:  # beyond the VMEM budget: scan backtrack handles any size
+            points, length = backtrack(back, DTW_SPEC)
     else:
         acc, back = wavefront_dp(cost, DTW_SPEC)
-    points, length = backtrack(back, DTW_SPEC)
+        points, length = backtrack(back, DTW_SPEC)
     return cost, acc, points, length
 
 

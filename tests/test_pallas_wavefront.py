@@ -48,3 +48,19 @@ def test_pallas_backtracked_path_matches():
     np.testing.assert_array_equal(
         np.asarray(pts_s)[: int(len_s)], np.asarray(pts_p)[: int(len_p)]
     )
+
+
+@pytest.mark.parametrize("spec", [DTW_SPEC, WTW_SPEC], ids=["dtw", "wtw"])
+@pytest.mark.parametrize("shape", [(5, 7), (21, 30), (40, 65)])
+def test_pallas_backtrack_kernel_matches_scan(spec, shape):
+    """backtrack_pallas reproduces the scan backtrack's full output contract:
+    identical valid path, identical length, identical frozen repeats."""
+    from real_time_audio_sync_tpu.ops.pallas_wavefront import backtrack_pallas
+
+    rng = np.random.default_rng(sum(shape))
+    cost = jnp.asarray(rng.random(shape), jnp.float32)
+    _, back = wavefront_dp(cost, spec)
+    pts_s, len_s = backtrack(back, spec)
+    pts_p, len_p = backtrack_pallas(back, spec, interpret=True)
+    assert int(len_s) == int(len_p)
+    np.testing.assert_array_equal(np.asarray(pts_s), np.asarray(pts_p))

@@ -19,8 +19,8 @@ import jax
 if jax.devices()[0].platform == "cpu":
     print("NO_TPU"); raise SystemExit(0)
 import jax.numpy as jnp
-from real_time_audio_sync_tpu.ops.wavefront import DTW_SPEC, WTW_SPEC, wavefront_dp
-from real_time_audio_sync_tpu.ops.pallas_wavefront import wavefront_dp_pallas
+from real_time_audio_sync_tpu.ops.wavefront import DTW_SPEC, WTW_SPEC, backtrack, wavefront_dp
+from real_time_audio_sync_tpu.ops.pallas_wavefront import backtrack_pallas, wavefront_dp_pallas
 
 for spec in (DTW_SPEC, WTW_SPEC):
     cost = jnp.asarray(np.random.default_rng(0).random((401, 380)), jnp.float32)
@@ -28,6 +28,10 @@ for spec in (DTW_SPEC, WTW_SPEC):
     acc_p, back_p = wavefront_dp_pallas(cost, spec)
     assert np.array_equal(np.asarray(acc_s), np.asarray(acc_p)), "acc mismatch"
     assert np.array_equal(np.asarray(back_s), np.asarray(back_p)), "back mismatch"
+    pts_s, len_s = backtrack(back_s, spec)
+    pts_p, len_p = backtrack_pallas(back_p, spec)
+    assert int(len_s) == int(len_p), "backtrack length mismatch"
+    assert np.array_equal(np.asarray(pts_s), np.asarray(pts_p)), "backtrack path mismatch"
 
 # fused OTW set_live kernel vs the XLA scan engine on the real pair
 import real_time_audio_sync_tpu as rtas
