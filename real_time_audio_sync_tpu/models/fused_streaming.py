@@ -123,11 +123,12 @@ class FusedStreamingEngine(StatusPolling):
         block[:k, : self.f] = cols.T
         lens = np.asarray([self.cap, self.n, k, 0], np.int32)
         w, live_t, px, py, sc = self._state
-        *self._state, self._status = _pallas_insert_block(
+        *self._state, status = _pallas_insert_block(
             lens, self.ref_t, block, w, live_t, px, py, sc, self.cfg, self.k_block,
             interpret=self.interpret,
         )
         self._state = tuple(self._state)
+        self._swap_status(status)
         return None
 
     insert_nowait = insert_block_nowait  # a single column is a K=1 block

@@ -95,6 +95,23 @@ class StatusPolling:
         """Wait for all in-flight inserts; returns ``"stop"`` or None."""
         return self.poll(block=True)
 
+    def _swap_status(self, new) -> None:
+        """Install the newest status vector, first harvesting the previous
+        one if it has finished computing (reading a ready array is a local
+        copy — no device sync).  Under continuous dispatch the *newest*
+        vector is almost never ready when the host looks at it, so polling
+        it alone would leave ``last_point``/"stop" permanently stale; the
+        previous vector, by contrast, has had a full dispatch interval to
+        complete.  Rate-limited like :meth:`poll` (``is_ready`` may cost a
+        relay round trip on tunneled platforms)."""
+        old = self._status
+        if old is not None and not self._stopped_cached:
+            now = time.monotonic()
+            if now - self._last_poll_time >= self.poll_min_interval and old.is_ready():
+                self._last_poll_time = now
+                self._consume_status(np.asarray(old))
+        self._status = new
+
     def _consume_status(self, vec):
         self._status = None
         flags = int(vec[0])
@@ -554,14 +571,16 @@ class BandedOnlineEngine(StatusPolling):
         if self._stopped_cached or self.poll() == "stop":
             return "stop"
         col = np.ascontiguousarray(live_col, self.dtype)
-        self.state, self._status = insert_step(self.state, col, self.ref, self.cfg)
+        self.state, status = insert_step(self.state, col, self.ref, self.cfg)
+        self._swap_status(status)
         return None
 
     def insert_block_nowait(self, cols):
         """Dispatch a (F, K) block without waiting; see :meth:`insert_nowait`."""
         if self._stopped_cached or self.poll() == "stop":
             return "stop"
-        self.state, self._status = self._dispatch_block(cols)
+        self.state, status = self._dispatch_block(cols)
+        self._swap_status(status)
         return None
 
     def _dispatch_block(self, cols):

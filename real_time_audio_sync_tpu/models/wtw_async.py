@@ -37,7 +37,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from real_time_audio_sync_tpu.config import WTWParams
-from real_time_audio_sync_tpu.features.chroma import chroma_frames, chroma_from_samples
+from real_time_audio_sync_tpu.features.chroma import (
+    _chroma_frames_impl,
+    chroma_from_samples,
+    frontend_constants,
+)
 from real_time_audio_sync_tpu.models.online_core import StatusPolling
 from real_time_audio_sync_tpu.models.wtw import SampleFIFO, _window_cost
 from real_time_audio_sync_tpu.ops.wavefront import WTW_SPEC, backtrack, wavefront_dp
@@ -52,12 +56,27 @@ _W_FLAGS = 4  # bit0 = stopped, bit1 = path-buffer overflow
 
 
 def _make_async_wtw_step(f: int, w: int, hop_frames: int, n_cap: int, m: int,
-                         k_pad: int, use_pallas: bool):
-    """Build the jitted block step: (live_dev, ref_dev, px, py, sc, cols,
-    n_valid) → (live_dev, px, py, sc, status).  All shapes static."""
-    maxpts = 2 * w - 1  # longest possible window subpath
+                         k_pad: int, backend: str, fft: int, hop: int):
+    """Build the jitted block step: (live_dev, ref_dev, px, py, sc, samples,
+    n_valid) → (live_dev, px, py, sc, status).  All shapes static.
 
-    if use_pallas:
+    ``samples`` is the raw contiguous sample span covering the block's
+    ``k_pad`` analysis frames ((k_pad−1)·hop + fft samples); framing AND
+    feature extraction happen inside the program.  Shipping the span instead
+    of pre-framed windows halves host→device bytes (the fft/hop=2 overlap
+    is materialized on-device by a reshape, not on the host), which is the
+    streaming bottleneck on a tunneled TPU (~25 MB/s effective).
+
+    ``backend`` selects the in-program window DP: "unroll" traces the
+    2w−1 diagonal updates and the backtrack as straight-line code (no XLA
+    loops — the TPU pays ~10-20 µs per loop-iteration boundary, which
+    dwarfs the per-diagonal vector work at w≈20), "scan" uses the
+    ``lax.scan`` wavefront, "pallas" the fused kernel (better only for
+    large windows where unrolling would bloat the compile)."""
+    maxpts = 2 * w - 1  # longest possible window subpath
+    unroll = backend == "unroll"
+
+    if backend == "pallas":
         from real_time_audio_sync_tpu.ops.pallas_wavefront import wavefront_dp_pallas
 
     def _run_window(live_dev, ref_dev, carry):
@@ -69,11 +88,13 @@ def _make_async_wtw_step(f: int, w: int, hop_frames: int, n_cap: int, m: int,
         x = jax.lax.dynamic_slice(live_dev, (zero, live_ptr), (f, w))
         y = jax.lax.dynamic_slice(ref_dev, (zero, ref_ptr), (f, w))
         cost = _window_cost(x, y)
-        if use_pallas:
+        if unroll:
+            _, back = wavefront_dp(cost, WTW_SPEC, unroll=True)
+        elif backend == "pallas":
             _, back = wavefront_dp_pallas(cost, WTW_SPEC)
         else:
             _, back = wavefront_dp(cost, WTW_SPEC)
-        points, length = backtrack(back, WTW_SPEC)  # (maxpts, 2), end→origin
+        points, length = backtrack(back, WTW_SPEC, unroll=unroll)  # (maxpts, 2), end→origin
         length = length.astype(jnp.int32)
 
         j = jnp.arange(maxpts, dtype=jnp.int32)
@@ -99,7 +120,20 @@ def _make_async_wtw_step(f: int, w: int, hop_frames: int, n_cap: int, m: int,
         return (px, py, live_ptr, ref_ptr, path_len, flags)
 
     @partial(jax.jit, donate_argnums=(0, 2, 3, 4))
-    def step(live_dev, ref_dev, px, py, sc, cols, n_valid):
+    def step(live_dev, ref_dev, px, py, sc, samples, n_valid, win, dft_cos, dft_sin, fb_t):
+        # framing + feature extraction fused into the step program: ONE
+        # dispatch per hop block, raw span in (each dispatch pays a relay
+        # round-trip share on tunneled TPUs; each byte a bandwidth share)
+        if fft == 2 * hop:
+            # frame i = samples[i·hop : i·hop+fft] — two consecutive
+            # half-frame blocks, so framing is a reshape + concat
+            blocks = samples.reshape(k_pad + 1, hop)
+            frames = jnp.concatenate([blocks[:-1], blocks[1:]], axis=1)
+        else:
+            idx = jnp.arange(k_pad)[:, None] * hop + jnp.arange(fft)[None, :]
+            frames = samples[idx]
+        cols = _chroma_frames_impl(frames, win, dft_cos, dft_sin, fb_t, True)
+
         def col_step(carry, xs):
             live_dev, px, py, sc = carry
             col, k = xs
@@ -166,12 +200,19 @@ class AsyncWTW(StatusPolling):
     committed path matches the host engine exactly; "stop" surfaces lazily
     via the polled status vector."""
 
-    dtype = np.dtype(np.float32)
-
-    def __init__(self, ref_recording, params, debug_params=None, k_block: int = 8):
+    def __init__(self, ref_recording, params, debug_params=None, k_block: int = 8,
+                 window_backend: str = "auto", dtype=np.float32):
         self.params = WTWParams.from_any(params)
         self.debug_params = debug_params or {}
         self.k_block = int(k_block)
+        # f32 is the production dtype; f64 is for CPU parity tests where the
+        # comparison must be immune to batch-shape-dependent f32 accumulation
+        # (docs/PARITY.md deviation 8 — different k_block ⇒ different matmul
+        # batch shapes ⇒ ~2e-6 chroma differences that can flip knife-edge
+        # DP ties).
+        self.dtype = np.dtype(dtype)
+        if window_backend not in ("auto", "unroll", "scan", "pallas"):
+            raise ValueError(f"unknown window_backend {window_backend!r}")
 
         self.ref, self.fs = load_wav(ref_recording)
         assert self.fs == 22050
@@ -198,12 +239,27 @@ class AsyncWTW(StatusPolling):
             jax.device_put(jnp.asarray(sc)),
         )
 
-        from real_time_audio_sync_tpu.ops.pallas_wavefront import pallas_wavefront_supported
+        if window_backend == "auto":
+            # measured on v5e at w=20 (interleaved A/B): scan 376 ms ≈
+            # pallas 392 ms, unroll 666 ms (39 unrolled tiny-vector updates
+            # serialize worse than the loop) — scan wins for small windows;
+            # the fused kernel pays off for large ones
+            if 2 * self._w - 1 <= 64:
+                window_backend = "scan"
+            else:
+                from real_time_audio_sync_tpu.ops.pallas_wavefront import (
+                    pallas_wavefront_supported,
+                )
 
+                window_backend = (
+                    "pallas" if pallas_wavefront_supported(None, self.dtype) else "scan"
+                )
+        self.window_backend = window_backend
         self._step = _make_async_wtw_step(
-            f, self._w, self._hop_frames, self.N, self.M,
-            self.k_block, pallas_wavefront_supported(None, self.dtype),
+            f, self._w, self._hop_frames, self.N, self.M, self.k_block,
+            window_backend, self.fft_len, self.hop_size,
         )
+        self._frontend_consts = frontend_constants(self.fft_len, self.fs, self.dtype)
 
         self.buf = SampleFIFO(self.dtype)
         self._init_status_polling()
@@ -214,22 +270,28 @@ class AsyncWTW(StatusPolling):
         return 0 if n < self.fft_len else (n - self.fft_len) // self.hop_size + 1
 
     def _dispatch(self, k: int) -> None:
-        """Frame k hop columns from the FIFO and launch one block step."""
+        """Ship the block's contiguous sample span and launch one step
+        (framing and feature extraction happen inside the step program)."""
+        span_len = (self.k_block - 1) * self.hop_size + self.fft_len
         avail = self.buf.view((k - 1) * self.hop_size + self.fft_len)
-        frames = np.lib.stride_tricks.sliding_window_view(avail, self.fft_len)[
-            :: self.hop_size
-        ][:k]
-        if k < self.k_block:  # ragged tail: zero columns are masked by n_valid
-            frames = np.concatenate(
-                [frames, np.zeros((self.k_block - k, self.fft_len), self.dtype)]
-            )
-        cols = chroma_frames(jnp.asarray(frames, self.dtype))  # (f, k_block)
+        if avail.shape[0] < span_len:  # ragged tail: zero-padded, masked by n_valid
+            span = np.zeros(span_len, self.dtype)
+            span[: avail.shape[0]] = avail
+        else:
+            # MUST copy: ``avail`` is a view of the FIFO's ring storage and
+            # ``consume`` below mutates it in place, while jnp.asarray may
+            # alias host memory (zero-copy on the CPU backend) or defer the
+            # transfer past the consume.
+            span = np.array(avail, self.dtype, copy=True)
+        span = jnp.asarray(span)
         self.buf.consume(k * self.hop_size)
         px, py, sc = self._state
-        self._live_dev, px, py, sc, self._status = self._step(
-            self._live_dev, self._ref_dev, px, py, sc, cols, np.int32(k)
+        self._live_dev, px, py, sc, status = self._step(
+            self._live_dev, self._ref_dev, px, py, sc, span, np.int32(k),
+            *self._frontend_consts,
         )
         self._state = (px, py, sc)
+        self._swap_status(status)
 
     def insert(self, live_audio_buf):
         """Insert raw audio samples; non-blocking.  Returns ``"stop"`` once a

@@ -81,12 +81,17 @@ def _unskew(skewed: jnp.ndarray, n: int) -> jnp.ndarray:
     return unrolled[:, :n]
 
 
-@partial(jax.jit, static_argnames=("spec",))
-def wavefront_dp(cost: jnp.ndarray, spec: StepSpec = DTW_SPEC):
+@partial(jax.jit, static_argnames=("spec", "unroll"))
+def wavefront_dp(cost: jnp.ndarray, spec: StepSpec = DTW_SPEC, unroll: bool = False):
     """Run the DP over anti-diagonals.
 
     Returns ``(acc, back)`` — the accumulated-cost matrix and the
     back-pointer matrix (codes per ``spec``), both (M, N).
+
+    ``unroll=True`` traces the M+N−1 diagonal updates as straight-line code
+    instead of a ``lax.scan`` — identical results; for small windows (WTW's
+    w×w) this removes the TPU's per-loop-iteration overhead (~10-20 µs per
+    boundary), which dominates the tiny per-diagonal vector work.
     """
     m, n = cost.shape
     dtype = cost.dtype
@@ -122,20 +127,30 @@ def wavefront_dp(cost: jnp.ndarray, spec: StepSpec = DTW_SPEC):
         return (val, prev), (val, code)
 
     init = (jnp.full((m,), inf, dtype), jnp.full((m,), inf, dtype))
-    xs = (cost_skew, jnp.arange(n_diag))
-    _, (acc_skew, back_skew) = jax.lax.scan(step, init, xs)
+    if unroll:
+        carry = init
+        accs, backs = [], []
+        for d in range(n_diag):
+            carry, (val, code) = step(carry, (cost_skew[d], jnp.int32(d)))
+            accs.append(val)
+            backs.append(code)
+        acc_skew = jnp.stack(accs)
+        back_skew = jnp.stack(backs)
+    else:
+        xs = (cost_skew, jnp.arange(n_diag))
+        _, (acc_skew, back_skew) = jax.lax.scan(step, init, xs)
 
     return _unskew(acc_skew, n), _unskew(back_skew, n)
 
 
-@partial(jax.jit, static_argnames=("spec",))
-def backtrack(back: jnp.ndarray, spec: StepSpec = DTW_SPEC):
+@partial(jax.jit, static_argnames=("spec", "unroll"))
+def backtrack(back: jnp.ndarray, spec: StepSpec = DTW_SPEC, unroll: bool = False):
     """Trace the optimal path from (M-1, N-1) to (0, 0).
 
     Returns ``(points, length)``: a (M+N-1, 2) int32 array whose first
     ``length`` rows are the path **in reverse order** (end → origin), matching
     the reference's pre-``reverse()`` construction (dtw.py:42-51,
-    wtw.py:219-240).
+    wtw.py:219-240).  ``unroll=True`` as in :func:`wavefront_dp`.
     """
     m, n = back.shape
     max_len = m + n - 1
@@ -155,8 +170,17 @@ def backtrack(back: jnp.ndarray, spec: StepSpec = DTW_SPEC):
         j2 = jnp.where(now_done, j, j + dj)
         return (i2, j2, now_done), (emitted, done)
 
-    (_, _, _), (points, done_before) = jax.lax.scan(
-        step, (jnp.int32(m - 1), jnp.int32(n - 1), False), None, length=max_len
-    )
-    length = max_len - jnp.sum(done_before)
+    init = (jnp.int32(m - 1), jnp.int32(n - 1), jnp.bool_(False))
+    if unroll:
+        carry = init
+        pts, dones = [], []
+        for _ in range(max_len):
+            carry, (emitted, done_before) = step(carry, None)
+            pts.append(emitted)
+            dones.append(done_before)
+        points = jnp.stack(pts)
+        length = max_len - jnp.sum(jnp.stack(dones))
+    else:
+        (_, _, _), (points, done_before) = jax.lax.scan(step, init, None, length=max_len)
+        length = max_len - jnp.sum(done_before)
     return points, length

@@ -262,16 +262,28 @@ class WTWFollower:
         params: Optional[dict] = None,
         log_dir: Optional[str] = None,
         dtype=np.float32,
+        engine: str = "wtw",
     ):
-        from real_time_audio_sync_tpu.models.wtw import WTW
-
         # live-app window sizes (wtw_live.py:106)
         self.params = dict(
             params
             or {"fft_len": 4096, "hop_size": 2048, "dtw_win_size": 4096 * 50, "dtw_hop_size": 2048 * 50}
         )
         self.ref_wav = ref_wav
-        self.dtw = WTW(ref_wav, self.params, dtype=dtype)
+        if engine == "wtw":
+            from real_time_audio_sync_tpu.models.wtw import WTW
+
+            self.dtw = WTW(ref_wav, self.params, dtype=dtype)
+        elif engine == "wtw_async":
+            # device-resident stepper: inserts dispatch asynchronously and
+            # the follow position comes from the polled status vector, so
+            # the audio loop never blocks on the device
+            from real_time_audio_sync_tpu.models.wtw_async import AsyncWTW
+
+            self.dtw = AsyncWTW(ref_wav, self.params, dtype=dtype)
+        else:
+            raise ValueError(f"unknown WTW follower engine {engine!r}")
+        self.engine_name = engine
         self.ref_gt = (
             GroundTruth.from_csv(ref_wav[:-4] + ".csv")
             if os.path.exists(ref_wav[:-4] + ".csv")
@@ -300,9 +312,17 @@ class WTWFollower:
         self.latency.stop()
         if status == "stop":
             self.stopped = True
-        if not self.dtw.path:
+        if self.engine_name == "wtw_async":
+            # non-blocking: read the score position from the last polled
+            # status vector instead of synchronizing on the device path
+            lp = self.dtw.last_point
+            if lp is None or lp[0] <= 0:
+                return []
+            live_f, ref_f = lp[1], lp[2]
+        elif not self.dtw.path:
             return []
-        live_f, ref_f = self.dtw.path[-1]
+        else:
+            live_f, ref_f = self.dtw.path[-1]
         beat = None
         if self.ref_gt is not None:
             from real_time_audio_sync_tpu.eval.ground_truth import get_beat
@@ -321,6 +341,9 @@ class WTWFollower:
 
     def stop(self) -> Optional[str]:
         self.recording = False
+        if self.engine_name == "wtw_async":
+            if self.dtw.flush() == "stop":  # drain in-flight dispatches
+                self.stopped = True
         if not self.log_dir:
             return None
         os.makedirs(self.log_dir, exist_ok=True)

@@ -45,6 +45,31 @@ def test_dtw_end_to_end_matches_oracle(m, n):
     np.testing.assert_array_equal(path, rpath)
 
 
+@pytest.mark.parametrize("spec_name", ["dtw", "wtw"])
+@pytest.mark.parametrize("m,n", [(1, 1), (5, 5), (20, 20), (23, 31)])
+def test_unrolled_wavefront_matches_scan(spec_name, m, n):
+    # The straight-line (unroll=True) tracing of the DP and backtrack must be
+    # bit-identical to the lax.scan wavefront — it is the same step function,
+    # only the loop construct differs (used by AsyncWTW's small-window path).
+    import jax.numpy as jnp
+
+    from real_time_audio_sync_tpu.ops.wavefront import DTW_SPEC
+
+    spec = DTW_SPEC if spec_name == "dtw" else WTW_SPEC
+    rng = np.random.default_rng(m * 100 + n)
+    cost = jnp.asarray(rng.random((m, n)), jnp.float64)
+    acc_s, back_s = wavefront_dp(cost, spec)
+    acc_u, back_u = wavefront_dp(cost, spec, unroll=True)
+    np.testing.assert_array_equal(np.asarray(acc_s), np.asarray(acc_u))
+    np.testing.assert_array_equal(np.asarray(back_s), np.asarray(back_u))
+    pts_s, ln_s = backtrack(back_s, spec)
+    pts_u, ln_u = backtrack(back_u, spec, unroll=True)
+    assert int(ln_s) == int(ln_u)
+    np.testing.assert_array_equal(
+        np.asarray(pts_s)[: int(ln_s)], np.asarray(pts_u)[: int(ln_u)]
+    )
+
+
 def test_dtw_with_ties_matches_argmin_order():
     # constant sequences create exact ties everywhere; tie-break must follow
     # np.argmin's first-min (left, up, diag) order (dtw.py:35-38)

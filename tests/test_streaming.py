@@ -255,6 +255,47 @@ def test_wtw_follower_live_pipeline(chopin_pair, tmp_path):
     assert pct[0] < 8.0 and pct[1] < 1.0
 
 
+def test_wtw_follower_async_engine_matches_host(chopin_pair, tmp_path):
+    """engine="wtw_async" (device-resident stepper) commits the same path as
+    the host engine and reports positions from the polled status vector
+    without per-buffer device reads.
+
+    An unpaced feed outruns the device queue (statuses are never ready when
+    the host looks), so positions are checked on a paced tail — in real-time
+    use audio arrives at 1x and the device always keeps up."""
+    import time
+
+    from real_time_audio_sync_tpu.streaming.runtime import WTWFollower
+
+    ref_wav, live_wav = chopin_pair
+    host = WTWFollower(ref_wav, live_wav, log_dir=str(tmp_path), dtype=np.float64, engine="wtw")
+    host.start()
+    for buf in SimulatedMic(live_wav, buffer_size=4096):
+        host.receive_audio(buf)
+        if host.stopped:
+            break
+    host.stop()
+
+    f = WTWFollower(ref_wav, live_wav, log_dir=str(tmp_path), dtype=np.float64, engine="wtw_async")
+    f.dtw.poll_min_interval = 0.02
+    f.start()
+    bufs = list(SimulatedMic(live_wav, buffer_size=4096))
+    cut = int(len(bufs) * 0.8)
+    events = []
+    for buf in bufs[:cut]:  # unpaced bulk
+        events += f.receive_audio(buf)
+    f.dtw.flush()  # drain the backlog; subsequent statuses stay fresh
+    for buf in bufs[cut:]:  # paced tail: device keeps up between buffers
+        events += f.receive_audio(buf)
+        time.sleep(0.01)
+        if f.stopped:
+            break
+    f.stop()
+    assert [tuple(p) for p in f.path] == [tuple(p) for p in host.path]
+    refs = [e.ref_frame for e in events]
+    assert refs and max(refs) > 100  # positions surfaced from status polls
+
+
 def test_app_loop_terminate_funcs_run_on_crash():
     from real_time_audio_sync_tpu.streaming.core import AppLoop, register_terminate_func, run
 

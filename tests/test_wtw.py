@@ -199,13 +199,18 @@ def test_async_wtw_matches_host_path(wtw_pair):
 
 
 def test_async_wtw_block_size_invariance(wtw_pair):
-    """k_block only changes dispatch batching, never the committed path."""
+    """k_block only changes dispatch batching, never the committed path.
+
+    Compared in float64: different k_block means different chroma-matmul
+    batch shapes, and f32 accumulation is batch-shape-dependent (PARITY.md
+    deviation 8) — the ~2e-6 differences can flip knife-edge DP ties, which
+    is a property of f32, not of the dispatch batching under test."""
     from real_time_audio_sync_tpu.models.wtw_async import AsyncWTW
 
     ref_path, live = wtw_pair
     paths = []
     for k_block in (1, 16):
-        eng = AsyncWTW(ref_path, WTW_PARAMS, k_block=k_block)
+        eng = AsyncWTW(ref_path, WTW_PARAMS, k_block=k_block, dtype=np.float64)
         for buf in np.array_split(live, 100):
             if eng.insert(buf) == "stop":
                 break
@@ -235,3 +240,24 @@ def test_async_wtw_stop_parity(wtw_pair):
     assert eng.insert(np.zeros(8192)) == "stop"  # sticky, like the reference
     assert eng.path == host.path
     assert eng.pointers[1:] == (host.live_ptr, host.ref_ptr)
+
+
+def test_async_wtw_backend_invariance(wtw_pair):
+    """Every window-DP backend (scan / unroll) commits the identical path —
+    the backend only changes how the w x w DP is traced, never its result.
+    (pallas is covered on hardware by tests/test_tpu_hardware.py.)"""
+    from real_time_audio_sync_tpu.models.wtw_async import AsyncWTW
+
+    ref_path, live = wtw_pair
+    paths, ptrs = [], []
+    for backend in ("scan", "unroll"):
+        eng = AsyncWTW(ref_path, WTW_PARAMS, k_block=8, window_backend=backend,
+                       dtype=np.float64)
+        for buf in np.array_split(live, 100):
+            if eng.insert(buf) == "stop":
+                break
+        eng.flush()
+        paths.append(eng.path)
+        ptrs.append(eng.pointers)
+    assert paths[0] == paths[1]
+    assert ptrs[0] == ptrs[1]
