@@ -101,20 +101,25 @@ def chroma_frames(frames: jnp.ndarray, n_fft: int = FFT_LEN, fs: int = FS, norma
     return _chroma_frames_impl(frames, win, dft_cos, dft_sin, fb_t, normalize)
 
 
+def frame_span(x: jnp.ndarray, t: int, n_fft: int, hop: int) -> jnp.ndarray:
+    """Frame a contiguous sample span into (t, n_fft) hop windows — frame i
+    is ``x[i·hop : i·hop+n_fft]``.  Trace-safe (static t).  When
+    ``n_fft == 2·hop`` each frame is two consecutive half-frame blocks, so
+    framing is a reshape + concat (zero gathers); otherwise a gather."""
+    if n_fft == 2 * hop:
+        blocks = x[: (t + 1) * hop].reshape(t + 1, hop)
+        return jnp.concatenate([blocks[:-1], blocks[1:]], axis=1)
+    idx = jnp.arange(t)[:, None] * hop + jnp.arange(n_fft)[None, :]
+    return x[idx]
+
+
 @partial(jax.jit, static_argnames=("n_fft", "hop", "normalize"))
 def _chroma_pipeline_impl(wav, win, dft_cos, dft_sin, fb_t, n_fft: int, hop: int, normalize: bool = True):
     t = num_frames(wav.shape[0], n_fft, hop)
     if t <= 0:
         return jnp.zeros((12, 0), wav.dtype)
     x = jnp.concatenate([jnp.zeros(n_fft // 2, wav.dtype), wav])
-    if n_fft == 2 * hop:
-        # Framing as a reshape: each frame is two consecutive half-frame
-        # blocks — zero gathers beyond one concatenate.
-        blocks = x[: (t + 1) * hop].reshape(t + 1, hop)
-        frames = jnp.concatenate([blocks[:-1], blocks[1:]], axis=1)
-    else:
-        idx = jnp.arange(t)[:, None] * hop + jnp.arange(n_fft)[None, :]
-        frames = x[idx]
+    frames = frame_span(x, t, n_fft, hop)
     return _chroma_frames_impl(frames, win, dft_cos, dft_sin, fb_t, normalize)
 
 

@@ -86,9 +86,9 @@ class StatusPolling:
             now = time.monotonic()
             if now - self._last_poll_time < self.poll_min_interval:
                 return None
+            self._last_poll_time = now  # throttle the probe, not the harvest
             if not self._status.is_ready():
                 return None
-            self._last_poll_time = now
         return self._consume_status(np.asarray(self._status))
 
     def flush(self):
@@ -107,9 +107,13 @@ class StatusPolling:
         old = self._status
         if old is not None and not self._stopped_cached:
             now = time.monotonic()
-            if now - self._last_poll_time >= self.poll_min_interval and old.is_ready():
+            if now - self._last_poll_time >= self.poll_min_interval:
+                # advance the clock on the PROBE, not the harvest — otherwise
+                # a backlogged device (old never ready) would pay an
+                # is_ready() probe on every subsequent dispatch
                 self._last_poll_time = now
-                self._consume_status(np.asarray(old))
+                if old.is_ready():
+                    self._consume_status(np.asarray(old))
         self._status = new
 
     def _consume_status(self, vec):

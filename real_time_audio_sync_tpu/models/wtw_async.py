@@ -40,6 +40,7 @@ from real_time_audio_sync_tpu.config import WTWParams
 from real_time_audio_sync_tpu.features.chroma import (
     _chroma_frames_impl,
     chroma_from_samples,
+    frame_span,
     frontend_constants,
 )
 from real_time_audio_sync_tpu.models.online_core import StatusPolling
@@ -124,14 +125,7 @@ def _make_async_wtw_step(f: int, w: int, hop_frames: int, n_cap: int, m: int,
         # framing + feature extraction fused into the step program: ONE
         # dispatch per hop block, raw span in (each dispatch pays a relay
         # round-trip share on tunneled TPUs; each byte a bandwidth share)
-        if fft == 2 * hop:
-            # frame i = samples[i·hop : i·hop+fft] — two consecutive
-            # half-frame blocks, so framing is a reshape + concat
-            blocks = samples.reshape(k_pad + 1, hop)
-            frames = jnp.concatenate([blocks[:-1], blocks[1:]], axis=1)
-        else:
-            idx = jnp.arange(k_pad)[:, None] * hop + jnp.arange(fft)[None, :]
-            frames = samples[idx]
+        frames = frame_span(samples, k_pad, fft, hop)
         cols = _chroma_frames_impl(frames, win, dft_cos, dft_sin, fb_t, True)
 
         def col_step(carry, xs):
@@ -211,8 +205,21 @@ class AsyncWTW(StatusPolling):
         # batch shapes ⇒ ~2e-6 chroma differences that can flip knife-edge
         # DP ties).
         self.dtype = np.dtype(dtype)
+        if self.dtype == np.float64 and not jax.config.jax_enable_x64:
+            # without x64, device_put silently downcasts every f64 array to
+            # f32 and the invariance guarantee this dtype exists for is void
+            raise ValueError("dtype=float64 requires jax_enable_x64")
         if window_backend not in ("auto", "unroll", "scan", "pallas"):
             raise ValueError(f"unknown window_backend {window_backend!r}")
+        if window_backend == "pallas":
+            from real_time_audio_sync_tpu.ops.pallas_wavefront import (
+                pallas_wavefront_supported,
+            )
+
+            if not pallas_wavefront_supported(None, self.dtype):
+                raise ValueError(
+                    "window_backend='pallas' unsupported on this platform/dtype"
+                )
 
         self.ref, self.fs = load_wav(ref_recording)
         assert self.fs == 22050

@@ -93,6 +93,26 @@ for ch in chunks:
 awtw.flush()
 assert awtw.path == host.path, "AsyncWTW path mismatch vs host WTW"
 assert awtw.pointers == (host.chroma_ptr, host.live_ptr, host.ref_ptr), "AsyncWTW pointer mismatch"
+
+# AsyncWTW at the live-app window size (wtw_live.py:106, w=100): here the
+# auto backend picks the fused Pallas window kernel (2w-1 > 64), which is
+# what WTWFollower(engine="wtw_async") runs on TPU — cover it on hardware
+# against the host engine on a shortened stream (~3 committed windows)
+wp2 = {{"fft_len": 4096, "hop_size": 2048, "dtw_win_size": 4096 * 50, "dtw_hop_size": 2048 * 50}}
+short_chunks = chunks[:31]  # 8 + 30*8 = 248 hop columns -> windows at 100/150/200
+host2 = WTW("/root/reference/Songs/chopin/chopin_rubinstein_20b.wav", wp2)
+for ch in short_chunks:
+    if host2.insert(ch) == "stop":
+        break
+awtw2 = AsyncWTW("/root/reference/Songs/chopin/chopin_rubinstein_20b.wav", wp2, k_block=8)
+assert awtw2.window_backend == "pallas", awtw2.window_backend
+for ch in short_chunks:
+    if awtw2.insert(ch) == "stop":
+        break
+awtw2.flush()
+assert len(host2.path) > 0, "w=100 short stream committed no windows"
+assert awtw2.path == host2.path, "AsyncWTW w=100 pallas-window path mismatch"
+assert awtw2.pointers == (host2.chroma_ptr, host2.live_ptr, host2.ref_ptr), "AsyncWTW w=100 pointer mismatch"
 print("TPU_PARITY_PASS")
 """
 
