@@ -64,6 +64,29 @@ def main() -> int:
 
     log(f"devices: {jax.devices()}")
 
+    # relay-health preamble: the tunneled TPU's dispatch RTT and host→device
+    # bandwidth vary >10x over time (multi-tenant relay; docs/STATUS.md
+    # session-3 finding).  Report both so a degraded run is attributable —
+    # every number below rides this floor.
+    try:
+        import jax.numpy as jnp
+
+        probe = jax.jit(lambda x: x.sum())
+        x128 = np.zeros((8, 4096), np.float32)  # 128 KB
+        float(probe(jnp.asarray(x128)))  # compile
+        t0 = time.perf_counter()
+        for _ in range(3):
+            float(probe(jnp.asarray(x128)))
+        rtt_ms = (time.perf_counter() - t0) / 3 * 1e3
+        t0 = time.perf_counter()
+        outs = [probe(jnp.asarray(x128 + i)) for i in range(20)]
+        jax.block_until_ready(outs)
+        xfer_ms = (time.perf_counter() - t0) / 20 * 1e3
+        log(f"relay health: sync round-trip {rtt_ms:.1f} ms, 128 KB pipelined "
+            f"transfer {xfer_ms:.2f} ms/dispatch (healthy ≈ 25-30 ms / 0.3-5 ms)")
+    except Exception as e:
+        log(f"relay health probe skipped ({e})")
+
     ref = np.asarray(rtas.wav_to_chroma(REF_WAV))
     live = np.asarray(rtas.wav_to_chroma(LIVE_WAV)).astype(np.float32)
     n_frames = live.shape[1]

@@ -40,7 +40,8 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--ref", default=DEFAULT_REF)
     ap.add_argument("--live", default=DEFAULT_LIVE)
-    ap.add_argument("--engine", default="otw", choices=["otw", "livenote", "livenote_v2"])
+    ap.add_argument("--engine", default="otw",
+                    choices=["otw", "livenote", "livenote_v2", "wtw", "wtw_async"])
     ap.add_argument("--fused", action="store_true", help="fused Pallas streaming backend")
     ap.add_argument("--interpret", action="store_true", help="Pallas interpreter (CPU)")
     ap.add_argument("--out-dir", default=None, help="write field log + click wav here")
@@ -53,16 +54,31 @@ def main(argv=None) -> int:
     from real_time_audio_sync_tpu.streaming.audio_io import ClickTrack, DuplexAudio, WavFileSink
     from real_time_audio_sync_tpu.streaming.display import Cursor3D, MeterDisplay
 
-    follower = ScoreFollower(
-        args.ref,
-        engine=args.engine,
-        params={"c": 50, "max_run_count": 3},  # livenote_live.py:94
-        log_dir=args.out_dir,
-        pipelined=True,
-        fused=args.fused,
-        fused_interpret=args.interpret,
-    )
-    n_ref_frames = max(1, follower.engine.n if args.fused else len(np.asarray(follower.engine.ref)[0]))
+    if args.engine in ("wtw", "wtw_async"):
+        # raw-audio windowed engine (wtw_live.py role); "wtw_async" runs the
+        # device-resident stepper with status-vector positions
+        from real_time_audio_sync_tpu.streaming.runtime import WTWFollower
+
+        follower = WTWFollower(
+            args.ref,
+            live_wav=args.live,
+            params={"fft_len": 4096, "hop_size": 2048,
+                    "dtw_win_size": 4096 * 10, "dtw_hop_size": 2048 * 10},
+            log_dir=args.out_dir,
+            engine=args.engine,
+        )
+        n_ref_frames = max(1, follower.dtw.M)
+    else:
+        follower = ScoreFollower(
+            args.ref,
+            engine=args.engine,
+            params={"c": 50, "max_run_count": 3},  # livenote_live.py:94
+            log_dir=args.out_dir,
+            pipelined=True,
+            fused=args.fused,
+            fused_interpret=args.interpret,
+        )
+        n_ref_frames = max(1, follower.engine.n if args.fused else len(np.asarray(follower.engine.ref)[0]))
 
     # duplex output: click track at the reference's annotated beats
     duplex = None

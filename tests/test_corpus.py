@@ -117,6 +117,25 @@ def test_live_demo_example_runs(chopin_pair, tmp_path):
     assert (tmp_path / "click_track.wav").stat().st_size > 10_000
 
 
+def test_live_demo_wtw_async_engine_runs(chopin_pair, tmp_path):
+    """The demo's raw-audio WTW path (wtw_live role) with the device-resident
+    stepper: field log written, path committed."""
+    import subprocess
+    import sys
+
+    ref_wav, live_wav = chopin_pair
+    proc = subprocess.run(
+        [sys.executable, "examples/live_demo.py", "--ref", ref_wav,
+         "--live", live_wav, "--engine", "wtw_async", "--quiet",
+         "--out-dir", str(tmp_path)],
+        capture_output=True, text=True, timeout=600,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu", "RTAS_NO_COMPILE_CACHE": "1"},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "path points" in proc.stdout
+    assert list(tmp_path.glob("wtw_test_live_*.txt")), proc.stdout
+
+
 def test_heatmap_example_runs(chopin_pair, tmp_path):
     """The notebook-equivalent example renders end-to-end (C18 parity)."""
     import subprocess
