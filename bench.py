@@ -300,6 +300,25 @@ def main() -> int:
         (wtwa_wall, wtwa_eng) = min((run_wtw_async() for _ in range(2)), key=lambda x: x[0])
         log(f"AsyncWTW device-resident streaming: {wtwa_wall*1e3:.0f} ms -> "
             f"RTF {audio_sec/wtwa_wall:.0f}x (host WTW {audio_sec/wtw_wall:.0f}x)")
+
+        # multi-stream WTW serving: B concurrent raw-audio followers, one
+        # vmapped dispatch per block (parallel/wtw_serving.py)
+        from real_time_audio_sync_tpu.parallel import MultiStreamWTW
+
+        B = 8
+
+        def run_wtw_multi():
+            ms = MultiStreamWTW([REF_WAV] * B, wtw_params, k_block=8)
+            t0 = time.perf_counter()
+            for s in range(0, len(live_raw), 8 * 2048):
+                ms.insert([live_raw[s : s + 8 * 2048]] * B)
+            ms.flush()
+            return time.perf_counter() - t0
+
+        run_wtw_multi()  # compile
+        mw = min(run_wtw_multi() for _ in range(2))
+        log(f"multi-stream WTW (B={B}, one chip): {mw*1e3:.0f} ms -> "
+            f"aggregate RTF {B*audio_sec/mw:.0f}x ({audio_sec/mw:.0f}x per stream)")
     except Exception as e:
         log(f"WTW diagnostic skipped ({e})")
 

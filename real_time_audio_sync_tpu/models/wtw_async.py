@@ -56,10 +56,14 @@ _W_PLEN = 3  # committed path length
 _W_FLAGS = 4  # bit0 = stopped, bit1 = path-buffer overflow
 
 
-def _make_async_wtw_step(f: int, w: int, hop_frames: int, n_cap: int, m: int,
-                         k_pad: int, backend: str, fft: int, hop: int):
-    """Build the jitted block step: (live_dev, ref_dev, px, py, sc, samples,
-    n_valid) → (live_dev, px, py, sc, status).  All shapes static.
+def _make_block_body(f: int, w: int, hop_frames: int, k_pad: int,
+                     backend: str, fft: int, hop: int):
+    """Build the (unjitted) block-step body: (live_dev, ref_dev, px, py, sc,
+    samples, n_valid, m, n_cap, win, dft_cos, dft_sin, fb_t) →
+    (live_dev, px, py, sc, status).  All shapes static; ``m`` (true reference
+    length) and ``n_cap`` (semantic live capacity, 2m) are traced scalars so
+    the same body serves the solo engine and the vmapped multi-stream
+    service (where they differ per stream over a common padded buffer).
 
     ``samples`` is the raw contiguous sample span covering the block's
     ``k_pad`` analysis frames ((k_pad−1)·hop + fft samples); framing AND
@@ -120,8 +124,8 @@ def _make_async_wtw_step(f: int, w: int, hop_frames: int, n_cap: int, m: int,
         ref_ptr = ref_ptr + jnp.where(change, idx_pt[1], hop_frames)
         return (px, py, live_ptr, ref_ptr, path_len, flags)
 
-    @partial(jax.jit, donate_argnums=(0, 2, 3, 4))
-    def step(live_dev, ref_dev, px, py, sc, samples, n_valid, win, dft_cos, dft_sin, fb_t):
+    def body(live_dev, ref_dev, px, py, sc, samples, n_valid, m, n_cap,
+             win, dft_cos, dft_sin, fb_t):
         # framing + feature extraction fused into the step program: ONE
         # dispatch per hop block, raw span in (each dispatch pays a relay
         # round-trip share on tunneled TPUs; each byte a bandwidth share)
@@ -182,7 +186,26 @@ def _make_async_wtw_step(f: int, w: int, hop_frames: int, n_cap: int, m: int,
         ]).astype(jnp.int32)
         return live_dev, px, py, sc, status
 
-    return step
+    return body
+
+
+def _make_async_wtw_step(f: int, w: int, hop_frames: int, k_pad: int,
+                         backend: str, fft: int, hop: int):
+    """Jitted solo block step over :func:`_make_block_body` (state donated)."""
+    body = _make_block_body(f, w, hop_frames, k_pad, backend, fft, hop)
+    return partial(jax.jit, donate_argnums=(0, 2, 3, 4))(body)
+
+
+def _make_multi_wtw_step(f: int, w: int, hop_frames: int, k_pad: int,
+                         backend: str, fft: int, hop: int):
+    """Jitted B-stream block step: the body vmapped over the stream axis of
+    every per-stream argument (frontend constants are shared).  One device
+    dispatch advances all B streams; per-frame DP state stays stream-local,
+    so sharding the batch axis over a mesh needs zero collectives
+    (SURVEY.md §5.8)."""
+    body = _make_block_body(f, w, hop_frames, k_pad, backend, fft, hop)
+    vbody = jax.vmap(body, in_axes=(0,) * 9 + (None,) * 4)
+    return partial(jax.jit, donate_argnums=(0, 2, 3, 4))(vbody)
 
 
 class AsyncWTW(StatusPolling):
@@ -263,7 +286,7 @@ class AsyncWTW(StatusPolling):
                 )
         self.window_backend = window_backend
         self._step = _make_async_wtw_step(
-            f, self._w, self._hop_frames, self.N, self.M, self.k_block,
+            f, self._w, self._hop_frames, self.k_block,
             window_backend, self.fft_len, self.hop_size,
         )
         self._frontend_consts = frontend_constants(self.fft_len, self.fs, self.dtype)
@@ -295,7 +318,7 @@ class AsyncWTW(StatusPolling):
         px, py, sc = self._state
         self._live_dev, px, py, sc, status = self._step(
             self._live_dev, self._ref_dev, px, py, sc, span, np.int32(k),
-            *self._frontend_consts,
+            np.int32(self.M), np.int32(self.N), *self._frontend_consts,
         )
         self._state = (px, py, sc)
         self._swap_status(status)

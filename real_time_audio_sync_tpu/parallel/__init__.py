@@ -5,3 +5,4 @@ from real_time_audio_sync_tpu.parallel.corpus import (  # noqa: F401
     sharded_chroma_frames,
 )
 from real_time_audio_sync_tpu.parallel.serving import MultiStreamFollower  # noqa: F401
+from real_time_audio_sync_tpu.parallel.wtw_serving import MultiStreamWTW  # noqa: F401

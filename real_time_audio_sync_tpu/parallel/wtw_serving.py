@@ -1,0 +1,218 @@
+"""Multi-stream WTW service: follow B concurrent raw-audio performances on
+one chip (or a mesh) with one device dispatch per hop block.
+
+The WTW counterpart of :class:`~real_time_audio_sync_tpu.parallel.serving.
+MultiStreamFollower` (which serves the chroma-column online engines): each
+stream is a full device-resident AsyncWTW stepper — live chromagram,
+pointers, window DP, subpath commits and stop flag — and the B steppers
+advance in ONE vmapped program per block, so per-dispatch overhead and
+device occupancy amortize across streams.  References may differ per stream
+(zero-padded to a common length; each stream's TRUE length drives its stop
+margins in-program).  Reference role: B independent wtw.py:71-130 engines,
+one per performance.
+
+Per-block DP state stays stream-local — sharding the batch axis over a
+``Mesh`` needs zero collectives (SURVEY.md §5.8).
+
+Feed skew is allowed: each ``insert`` call may give different streams
+different amounts of audio; a block dispatches whenever any stream has a
+full ``k_block`` of hop columns, with per-stream ``n_valid`` masking (the
+chroma matmul batch shape is always ``k_block``-padded, so a stream's
+committed path is independent of how the other streams' audio arrives).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from real_time_audio_sync_tpu.config import WTWParams
+from real_time_audio_sync_tpu.features.chroma import chroma_from_samples, frontend_constants
+from real_time_audio_sync_tpu.models.wtw import SampleFIFO
+from real_time_audio_sync_tpu.models.wtw_async import (
+    _W_CHROMA,
+    _W_LIVE,
+    _W_PLEN,
+    _W_REF,
+    _make_multi_wtw_step,
+)
+from real_time_audio_sync_tpu.utils.wavio import load_wav
+
+
+class MultiStreamWTW:
+    """Follow ``B`` raw-audio streams concurrently, one dispatch per block.
+
+    ``refs``: per-stream reference recordings (wav paths or 1-D sample
+    arrays).  :meth:`insert` takes one raw-sample buffer per stream (``None``
+    for streams with no new audio); :meth:`flush` drains ragged tails and
+    waits.  ``paths()`` / ``pointers()`` / ``stopped`` read back per-stream
+    results (synchronizing)."""
+
+    def __init__(self, refs: Sequence, params, k_block: int = 8,
+                 dtype=np.float32, mesh: Optional[Mesh] = None):
+        self.params = WTWParams.from_any(params)
+        self.k_block = int(k_block)
+        self.dtype = np.dtype(dtype)
+        if self.dtype == np.float64 and not jax.config.jax_enable_x64:
+            raise ValueError("dtype=float64 requires jax_enable_x64")
+
+        self.fft_len = self.params.fft_len
+        self.hop_size = self.params.hop_size
+        self._w = self.params.dtw_win_size // self.hop_size
+        self._hop_frames = self.params.dtw_hop_size // self.hop_size
+
+        ref_chromas = []
+        for r in refs:
+            if isinstance(r, (str, bytes)):
+                wav, fs = load_wav(r)
+                assert fs == 22050
+            else:
+                wav = np.asarray(r)
+            ref_chromas.append(chroma_from_samples(wav, dtype=self.dtype))
+        self.b = len(ref_chromas)
+        if self.b == 0:
+            raise ValueError("need at least one stream")
+        f = ref_chromas[0].shape[0]
+        self.ms = np.asarray([c.shape[1] for c in ref_chromas], np.int32)
+        m_max = int(self.ms.max())
+        self.n_caps = (2 * self.ms).astype(np.int32)  # per-stream live cap (wtw.py:52)
+        n_buf = 2 * m_max
+
+        refs_padded = np.zeros((self.b, f, m_max), self.dtype)
+        for i, c in enumerate(ref_chromas):
+            refs_padded[i, :, : c.shape[1]] = c
+        p_cap = (n_buf // self._hop_frames + 2) * (2 * self._w - 1) + 64
+
+        # mesh: shard every batched leaf along the stream axis (all mesh
+        # axes — a partial spec would silently replicate); single chip: let
+        # jit's argument-transfer path place things
+        self.mesh = mesh
+        if mesh is not None:
+            n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+            if self.b % n_dev:
+                raise ValueError(
+                    f"stream count {self.b} must be divisible by the mesh's "
+                    f"{n_dev} devices (pad with dummy streams)"
+                )
+            axes = tuple(mesh.axis_names)
+            self._put = lambda x: jax.device_put(
+                jnp.asarray(x),
+                NamedSharding(mesh, P(axes, *(None,) * (np.ndim(x) - 1))),
+            )
+        else:
+            self._put = lambda x: jax.device_put(jnp.asarray(x))
+
+        self._ref_dev = self._put(refs_padded)
+        self._live_dev = self._put(np.zeros((self.b, f, n_buf), self.dtype))
+        self._m_dev = self._put(self.ms)
+        self._ncap_dev = self._put(self.n_caps)
+        self._state = (
+            self._put(np.zeros((self.b, p_cap), np.int32)),
+            self._put(np.zeros((self.b, p_cap), np.int32)),
+            self._put(np.zeros((self.b, 8), np.int32)),
+        )
+        # multi-stream uses the scan window DP: under vmap the predicated
+        # window executes for the whole batch whenever any stream is due,
+        # which the vectorized wavefront absorbs; the Pallas kernel's
+        # batching rule does not apply here
+        self._step = _make_multi_wtw_step(
+            f, self._w, self._hop_frames, self.k_block, "scan",
+            self.fft_len, self.hop_size,
+        )
+        self._frontend_consts = frontend_constants(self.fft_len, 22050, self.dtype)
+
+        self.bufs = [SampleFIFO(self.dtype) for _ in range(self.b)]
+        self._status = None  # (B, 4) device array from the newest dispatch
+        self._stopped = np.zeros(self.b, bool)
+        self._span_len = (self.k_block - 1) * self.hop_size + self.fft_len
+
+    # ------------------------------------------------------------------
+    def _avail_cols(self, i: int) -> int:
+        n = len(self.bufs[i])
+        return 0 if n < self.fft_len else (n - self.fft_len) // self.hop_size + 1
+
+    def _spans(self, ks: np.ndarray) -> np.ndarray:
+        spans = np.zeros((self.b, self._span_len), self.dtype)
+        for i, k in enumerate(ks):
+            if k <= 0:
+                continue
+            avail = self.bufs[i].view((int(k) - 1) * self.hop_size + self.fft_len)
+            spans[i, : avail.shape[0]] = avail  # copy — FIFO mutates in place
+            self.bufs[i].consume(int(k) * self.hop_size)
+        return spans
+
+    def _dispatch(self, ks: np.ndarray) -> None:
+        spans = self._spans(ks)
+        px, py, sc = self._state
+        self._live_dev, px, py, sc, self._status = self._step(
+            self._live_dev, self._ref_dev, px, py, sc,
+            self._put(spans), self._put(ks.astype(np.int32)),
+            self._m_dev, self._ncap_dev, *self._frontend_consts,
+        )
+        self._state = (px, py, sc)
+
+    def insert(self, stream_bufs: Sequence) -> np.ndarray:
+        """Append raw samples per stream (``None`` = no new audio) and
+        dispatch full blocks; non-blocking.  Returns the stopped mask as of
+        the last completed poll (lazy, like the solo engines)."""
+        if len(stream_bufs) != self.b:
+            raise ValueError(f"expected {self.b} buffers, got {len(stream_bufs)}")
+        for i, buf in enumerate(stream_bufs):
+            if buf is not None and not self._stopped[i]:
+                self.bufs[i].extend(buf)
+        while True:
+            ks = np.asarray(
+                [0 if self._stopped[i] else min(self._avail_cols(i), self.k_block)
+                 for i in range(self.b)], np.int32)
+            if ks.max(initial=0) < self.k_block:
+                break
+            self._dispatch(ks)
+        self._poll()
+        return self._stopped.copy()
+
+    def _poll(self, block: bool = False) -> None:
+        if self._status is None:
+            return
+        if not block and not self._status.is_ready():
+            return
+        vec = np.asarray(self._status)
+        self._status = None
+        self._stopped |= (vec[:, 0] & 1).astype(bool)
+        if (vec[:, 0] & 2).any():  # pragma: no cover - exact capacity bound
+            raise AssertionError("MultiStreamWTW path buffer overflow")
+
+    def flush(self) -> np.ndarray:
+        """Drain every stream's remaining whole hop columns and wait for all
+        in-flight dispatches; returns the final stopped mask."""
+        while True:
+            ks = np.asarray(
+                [0 if self._stopped[i] else min(self._avail_cols(i), self.k_block)
+                 for i in range(self.b)], np.int32)
+            if ks.max(initial=0) <= 0:
+                break
+            self._dispatch(ks)
+        self._poll(block=True)
+        return self._stopped.copy()
+
+    # -- inspection (each synchronizes) ---------------------------------
+    @property
+    def stopped(self) -> np.ndarray:
+        self._poll(block=True)
+        return self._stopped.copy()
+
+    def paths(self) -> List[List[tuple]]:
+        px, py, sc = jax.device_get(self._state)
+        out = []
+        for i in range(self.b):
+            plen = int(sc[i, _W_PLEN])
+            out.append(list(zip(px[i, :plen].tolist(), py[i, :plen].tolist())))
+        return out
+
+    def pointers(self) -> List[Tuple[int, int, int]]:
+        sc = np.asarray(self._state[2])
+        return [tuple(int(sc[i, j]) for j in (_W_CHROMA, _W_LIVE, _W_REF))
+                for i in range(self.b)]

@@ -1,0 +1,81 @@
+"""Multi-stream WTW serving (parallel/wtw_serving.py): B raw-audio streams
+advanced by one vmapped dispatch per block, each bit-identical to a solo
+AsyncWTW engine.  Float64 throughout — the comparisons must be immune to
+batch-shape-dependent f32 accumulation (docs/PARITY.md deviation 8)."""
+
+import numpy as np
+import pytest
+
+from real_time_audio_sync_tpu.models import AsyncWTW
+from real_time_audio_sync_tpu.parallel import MultiStreamWTW
+from real_time_audio_sync_tpu.parallel.corpus import corpus_mesh
+from real_time_audio_sync_tpu.utils.wavio import load_wav
+
+WTW_PARAMS = {"fft_len": 4096, "hop_size": 2048,
+              "dtw_win_size": 4096 * 10, "dtw_hop_size": 2048 * 10}
+
+
+def test_multistream_wtw_matches_solo_engines(chopin_pair):
+    """Mixed references and skewed per-stream feeds: every stream's committed
+    path and pointers equal a solo AsyncWTW run on the same audio."""
+    ref_wav, live_wav = chopin_pair
+    rub, _ = load_wav(ref_wav)
+    rach, _ = load_wav(live_wav)
+    half = len(rach) // 2
+    refs = [ref_wav, live_wav, ref_wav]
+    lives = [rach[:half], rub[:half], rach[: half // 2]]
+    chunkings = [50, 19, 31]  # deliberately unaligned cadences
+
+    ms = MultiStreamWTW(refs, WTW_PARAMS, k_block=8, dtype=np.float64)
+    iters = [iter(np.array_split(lv, ch)) for lv, ch in zip(lives, chunkings)]
+    done = [False] * len(refs)
+    while not all(done):
+        bufs = []
+        for i, it in enumerate(iters):
+            try:
+                bufs.append(next(it))
+            except StopIteration:
+                done[i] = True
+                bufs.append(None)
+        ms.insert(bufs)
+    ms.flush()
+
+    for i in range(len(refs)):
+        solo = AsyncWTW(refs[i], WTW_PARAMS, k_block=8, dtype=np.float64)
+        for b in np.array_split(lives[i], chunkings[i]):
+            if solo.insert(b) == "stop":
+                break
+        solo.flush()
+        assert ms.paths()[i] == solo.path
+        assert ms.pointers()[i] == solo.pointers
+
+
+def test_multistream_wtw_sharded_over_mesh(chopin_pair):
+    """8 identical streams sharded over the 8-virtual-device mesh commit the
+    same path as an unsharded single stream (zero cross-chip communication
+    by construction)."""
+    ref_wav, live_wav = chopin_pair
+    rach, _ = load_wav(live_wav)
+    rach = rach[: len(rach) // 2]
+    mesh = corpus_mesh()
+    ms = MultiStreamWTW([ref_wav] * 8, WTW_PARAMS, k_block=8,
+                        dtype=np.float64, mesh=mesh)
+    one = MultiStreamWTW([ref_wav], WTW_PARAMS, k_block=8, dtype=np.float64)
+    for b in np.array_split(rach, 32):
+        ms.insert([b] * 8)
+        one.insert([b])
+    ms.flush()
+    one.flush()
+    ref_path = one.paths()[0]
+    assert len(ref_path) > 50
+    assert all(p == ref_path for p in ms.paths())
+
+
+def test_multistream_wtw_validation(chopin_pair):
+    ref_wav, _ = chopin_pair
+    mesh = corpus_mesh()
+    with pytest.raises(ValueError, match="divisible"):
+        MultiStreamWTW([ref_wav] * 3, WTW_PARAMS, mesh=mesh)
+    ms = MultiStreamWTW([ref_wav], WTW_PARAMS, dtype=np.float64)
+    with pytest.raises(ValueError, match="expected 1 buffers"):
+        ms.insert([np.zeros(100), np.zeros(100)])
