@@ -57,7 +57,7 @@ _W_FLAGS = 4  # bit0 = stopped, bit1 = path-buffer overflow
 
 
 def _make_block_body(f: int, w: int, hop_frames: int, k_pad: int,
-                     backend: str, fft: int, hop: int):
+                     backend: str, fft: int, hop: int, hoisted: bool = True):
     """Build the (unjitted) block-step body: (live_dev, ref_dev, px, py, sc,
     samples, n_valid, m, n_cap, win, dft_cos, dft_sin, fb_t) →
     (live_dev, px, py, sc, status).  All shapes static; ``m`` (true reference
@@ -124,13 +124,10 @@ def _make_block_body(f: int, w: int, hop_frames: int, k_pad: int,
         ref_ptr = ref_ptr + jnp.where(change, idx_pt[1], hop_frames)
         return (px, py, live_ptr, ref_ptr, path_len, flags)
 
-    def body(live_dev, ref_dev, px, py, sc, samples, n_valid, m, n_cap,
-             win, dft_cos, dft_sin, fb_t):
-        # framing + feature extraction fused into the step program: ONE
-        # dispatch per hop block, raw span in (each dispatch pays a relay
-        # round-trip share on tunneled TPUs; each byte a bandwidth share)
-        frames = frame_span(samples, k_pad, fft, hop)
-        cols = _chroma_frames_impl(frames, win, dft_cos, dft_sin, fb_t, True)
+    def body_cols(live_dev, ref_dev, px, py, sc, cols, n_valid, m, n_cap):
+        """Reference block implementation: one lax.scan step per column with
+        the window run predicated by a cond — semantically transparent, used
+        as the parity oracle for ``body_hoisted``."""
 
         def col_step(carry, xs):
             live_dev, px, py, sc = carry
@@ -174,6 +171,88 @@ def _make_block_body(f: int, w: int, hop_frames: int, k_pad: int,
 
         xs = (cols.T, jnp.arange(k_pad, dtype=jnp.int32))
         (live_dev, px, py, sc), _ = jax.lax.scan(col_step, (live_dev, px, py, sc), xs)
+        return live_dev, px, py, sc
+
+    def body_hoisted(live_dev, ref_dev, px, py, sc, cols, n_valid, m, n_cap):
+        """Same per-column semantics as ``col_step`` but with the window DP
+        hoisted out of the column loop.  Within a block the window-due
+        columns are DETERMINISTIC: live_ptr/ref_ptr change only when a
+        window runs, each window advances live_ptr by exactly hop_frames
+        (module-docstring invariant), and chroma_ptr advances by one per
+        appended column — so the block reduces to one batched column append
+        plus at most 1+⌈(k−1)/hop_frames⌉ predicated window slots, instead
+        of k sequential cond-wrapped scan steps (the dominant in-program
+        cost at small w, and under vmap the per-column cond becomes a
+        both-branches select for the whole batch)."""
+        cp = sc[_W_CHROMA]
+        lp = sc[_W_LIVE]
+        rp = sc[_W_REF]
+        pl = sc[_W_PLEN]
+        fl = sc[_W_FLAGS]
+        kcount = jnp.where((fl & 1) == 0, n_valid, 0).astype(jnp.int32)
+
+        # batched append: column k → position cp+k (capacity overflow and
+        # masked columns dropped).  Columns past a mid-block stop are
+        # written too — they lie beyond the final chroma_ptr and are never
+        # read (stop is permanent); chroma_live beyond chroma_ptr is
+        # unspecified, as for the host engine's untouched buffer tail.
+        kk = jnp.arange(k_pad, dtype=jnp.int32)
+        posv = cp + kk
+        can = (kk < kcount) & (posv < n_cap)
+        dest = jnp.where(can, posv, jnp.int32(live_dev.shape[1]))
+        live_dev = live_dev.at[:, dest].set(cols, mode="drop")
+
+        base = jnp.int32(0)
+        done = kcount == 0
+        n_slots = 1 + max(0, (k_pad - 1) // max(1, hop_frames)) + 1
+        for _ in range(n_slots):
+            seg = ~done & (base < kcount)
+            # events within the segment, in column order (margin/capacity
+            # checks use the CURRENT pointers — constant until a window runs)
+            margin = (rp >= m - 1 - w) | (lp >= n_cap - 1 - w)
+            k_cap = base + (n_cap - cp)  # capacity-stop column (no append there)
+            k_due = jnp.maximum(base + (w + lp - cp) - 1, base)
+            last_k = kcount - 1
+
+            m_hit = seg & margin  # first active column: append (if room), stop
+            c_hit = seg & ~margin & (k_cap <= jnp.minimum(k_due, last_k))
+            w_hit = seg & ~margin & ~c_hit & (k_due <= last_k)
+            none_hit = seg & ~margin & ~c_hit & ~w_hit
+
+            cp = jnp.where(m_hit, cp + jnp.where(cp < n_cap, 1, 0),
+                  jnp.where(c_hit, n_cap,
+                   jnp.where(w_hit, cp + (k_due - base + 1),
+                    jnp.where(none_hit, cp + (kcount - base), cp))))
+            fl = fl | jnp.where(m_hit | c_hit, 1, 0)
+
+            wcarry = (px, py, lp, rp, pl, fl)
+            px, py, lp, rp, pl, fl = jax.lax.cond(
+                w_hit,
+                lambda c: _run_window(live_dev, ref_dev, c),
+                lambda c: c,
+                wcarry,
+            )
+            # after a window the very next column can re-trigger the margin
+            # guard; done only on terminal events
+            base = jnp.where(w_hit, k_due + 1, kcount)
+            done = done | m_hit | c_hit | none_hit
+
+        sc = jnp.stack([cp, lp, rp, pl, fl, sc[5], sc[6], sc[7]])
+        return live_dev, px, py, sc
+
+    def body(live_dev, ref_dev, px, py, sc, samples, n_valid, m, n_cap,
+             win, dft_cos, dft_sin, fb_t):
+        # framing + feature extraction fused into the step program: ONE
+        # dispatch per hop block, raw span in (each dispatch pays a relay
+        # round-trip share on tunneled TPUs; each byte a bandwidth share)
+        frames = frame_span(samples, k_pad, fft, hop)
+        cols = _chroma_frames_impl(frames, win, dft_cos, dft_sin, fb_t, True)
+        if hoisted:
+            live_dev, px, py, sc = body_hoisted(
+                live_dev, ref_dev, px, py, sc, cols, n_valid, m, n_cap)
+        else:
+            live_dev, px, py, sc = body_cols(
+                live_dev, ref_dev, px, py, sc, cols, n_valid, m, n_cap)
 
         path_len = sc[_W_PLEN]
         has = path_len > 0
@@ -190,20 +269,23 @@ def _make_block_body(f: int, w: int, hop_frames: int, k_pad: int,
 
 
 def _make_async_wtw_step(f: int, w: int, hop_frames: int, k_pad: int,
-                         backend: str, fft: int, hop: int):
+                         backend: str, fft: int, hop: int, hoisted: bool = True):
     """Jitted solo block step over :func:`_make_block_body` (state donated)."""
-    body = _make_block_body(f, w, hop_frames, k_pad, backend, fft, hop)
+    body = _make_block_body(f, w, hop_frames, k_pad, backend, fft, hop, hoisted)
     return partial(jax.jit, donate_argnums=(0, 2, 3, 4))(body)
 
 
 def _make_multi_wtw_step(f: int, w: int, hop_frames: int, k_pad: int,
-                         backend: str, fft: int, hop: int):
+                         backend: str, fft: int, hop: int, hoisted: bool = True):
     """Jitted B-stream block step: the body vmapped over the stream axis of
     every per-stream argument (frontend constants are shared).  One device
     dispatch advances all B streams; per-frame DP state stays stream-local,
     so sharding the batch axis over a mesh needs zero collectives
-    (SURVEY.md §5.8)."""
-    body = _make_block_body(f, w, hop_frames, k_pad, backend, fft, hop)
+    (SURVEY.md §5.8).  The hoisted body matters most here: under vmap a
+    per-column cond becomes a both-branches select for the whole batch, so
+    hoisting cuts the window-DP executions per block from k_pad to
+    1+⌈(k_pad−1)/hop_frames⌉."""
+    body = _make_block_body(f, w, hop_frames, k_pad, backend, fft, hop, hoisted)
     vbody = jax.vmap(body, in_axes=(0,) * 9 + (None,) * 4)
     return partial(jax.jit, donate_argnums=(0, 2, 3, 4))(vbody)
 
@@ -218,7 +300,8 @@ class AsyncWTW(StatusPolling):
     via the polled status vector."""
 
     def __init__(self, ref_recording, params, debug_params=None, k_block: int = 8,
-                 window_backend: str = "auto", dtype=np.float32):
+                 window_backend: str = "auto", dtype=np.float32,
+                 block_impl: str = "hoisted"):
         self.params = WTWParams.from_any(params)
         self.debug_params = debug_params or {}
         self.k_block = int(k_block)
@@ -234,6 +317,9 @@ class AsyncWTW(StatusPolling):
             raise ValueError("dtype=float64 requires jax_enable_x64")
         if window_backend not in ("auto", "unroll", "scan", "pallas"):
             raise ValueError(f"unknown window_backend {window_backend!r}")
+        if block_impl not in ("hoisted", "cols"):
+            raise ValueError(f"unknown block_impl {block_impl!r}")
+        self.block_impl = block_impl
         if window_backend == "pallas":
             from real_time_audio_sync_tpu.ops.pallas_wavefront import (
                 pallas_wavefront_supported,
@@ -288,6 +374,7 @@ class AsyncWTW(StatusPolling):
         self._step = _make_async_wtw_step(
             f, self._w, self._hop_frames, self.k_block,
             window_backend, self.fft_len, self.hop_size,
+            hoisted=block_impl == "hoisted",
         )
         self._frontend_consts = frontend_constants(self.fft_len, self.fs, self.dtype)
 

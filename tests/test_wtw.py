@@ -261,3 +261,33 @@ def test_async_wtw_backend_invariance(wtw_pair):
         ptrs.append(eng.pointers)
     assert paths[0] == paths[1]
     assert ptrs[0] == ptrs[1]
+
+
+@pytest.mark.parametrize("hop_mult", [10, 1])
+def test_async_wtw_hoisted_matches_cols_impl(wtw_pair, hop_mult):
+    """The hoisted block body (batched append + predicated window slots) is
+    bit-identical to the per-column scan body — including hop_frames=1,
+    where every appended column triggers a window (maximum slots per block),
+    and the overlong-audio stop path."""
+    from real_time_audio_sync_tpu.models.wtw_async import AsyncWTW
+
+    params = {"fft_len": 4096, "hop_size": 2048,
+              "dtw_win_size": 4096 * 5, "dtw_hop_size": 2048 * hop_mult}
+    ref_path, live = wtw_pair
+    long_live = np.concatenate([live, live])  # crosses the stop margin
+    results = {}
+    for impl in ("cols", "hoisted"):
+        eng = AsyncWTW(ref_path, params, k_block=8, dtype=np.float64,
+                       block_impl=impl)
+        for buf in np.array_split(long_live, 173):  # unaligned chunking
+            if eng.insert(buf) == "stop":
+                break
+        eng.flush()
+        results[impl] = (eng.path, eng.pointers, eng.last_point)
+    assert results["hoisted"] == results["cols"]
+    host = WTW(ref_path, params, dtype=np.float64)
+    for buf in np.array_split(long_live, 173):
+        if host.insert(buf) == "stop":
+            break
+    assert results["hoisted"][0] == host.path
+    assert results["hoisted"][1][1:] == (host.live_ptr, host.ref_ptr)
