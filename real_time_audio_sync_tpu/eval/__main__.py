@@ -34,8 +34,9 @@ def main(argv=None) -> int:
     ap.add_argument("--dtype", default="float32", choices=["float32", "float64"])
     ap.add_argument("--mode", default="insert", choices=["insert", "fused"],
                     help="insert: stream frame-by-frame (reference harness regime); "
-                         "fused: whole alignment per pair through the fused device backends "
-                         "(Pallas set_live for the online engines, AsyncWTW for wtw; fast sweeps)")
+                         "fused: whole alignment through the fused device backends "
+                         "(Pallas set_live for the online engines; for wtw a corpus "
+                         "sweep batches ALL pairs into one multi-stream run)")
     args = ap.parse_args(argv)
 
     import numpy as np

@@ -199,19 +199,24 @@ class CorpusRunner:
     def evaluate(self, field_log: Optional[str] = None, verbose: bool = True) -> CorpusReport:
         results: List[PairResult] = []
         skipped: List[Tuple[str, str]] = []
+        present: List[Tuple[str, str]] = []
         for ref_wav, live_wav in corpus_pairs(self.recordings_dir):
-            if not (os.path.exists(ref_wav) and os.path.exists(live_wav)):
+            if os.path.exists(ref_wav) and os.path.exists(live_wav):
+                present.append((ref_wav, live_wav))
+            else:
                 skipped.append((ref_wav, live_wav))
-                continue
-            result = align_pair(ref_wav, live_wav, self.engine, self.params, self.dtype, mode=self.mode)
-            results.append(result)
-            if verbose:
-                s = result.score
-                print(
-                    f"{os.path.basename(ref_wav)} vs {os.path.basename(live_wav)} "
-                    f"[{self.engine}]: >1b={s.pct_off_beats[1]:.2f}% "
-                    f">3b={s.pct_off_beats[3]:.2f}% >3s={s.pct_off_3s:.2f}%"
-                )
+
+        if self.engine == "wtw" and self.mode == "fused" and len(present) > 1:
+            # the whole sweep as ONE multi-stream run: every pair is a
+            # stream of the vmapped device-resident stepper, one dispatch
+            # per block advances all pairs (parallel/wtw_serving.py)
+            results = self._evaluate_wtw_batched(present, verbose)
+        else:
+            for ref_wav, live_wav in present:
+                result = align_pair(ref_wav, live_wav, self.engine, self.params, self.dtype, mode=self.mode)
+                results.append(result)
+                if verbose:
+                    self._print_result(result)
 
         # recorded-field-path cross-check (tests.py:245-251)
         field_check = None
@@ -233,6 +238,54 @@ class CorpusRunner:
                 print(f"skipped {len(skipped)} pairs with missing audio")
             print(f"mean error (% points >3 s off): {report.mean_error:.3f}")
         return report
+
+    def _print_result(self, result: PairResult) -> None:
+        s = result.score
+        print(
+            f"{os.path.basename(result.ref_wav)} vs {os.path.basename(result.live_wav)} "
+            f"[{self.engine}]: >1b={s.pct_off_beats[1]:.2f}% "
+            f">3b={s.pct_off_beats[3]:.2f}% >3s={s.pct_off_3s:.2f}%"
+        )
+
+    def _evaluate_wtw_batched(self, pairs: List[Tuple[str, str]], verbose: bool) -> List[PairResult]:
+        """All pairs through :class:`MultiStreamWTW` at once, each stream fed
+        the harness chunking (``np.array_split(live, 4096)``, tests.py:186).
+        Per-stream committed paths equal solo AsyncWTW runs (bit-exact on
+        CPU; on the TPU MXU up to batch-shape accumulation, PARITY.md
+        deviation 8 — the same caveat as any fused/batched regime)."""
+        from real_time_audio_sync_tpu.parallel.wtw_serving import MultiStreamWTW
+        from real_time_audio_sync_tpu.utils.wavio import load_wav
+
+        if np.dtype(self.dtype) != np.float32:
+            raise ValueError("mode='fused' runs the float32 device backends")
+        ms = MultiStreamWTW(
+            [r for r, _ in pairs], self.params or DEFAULT_WTW_PARAMS, k_block=8,
+        )
+        iters = []
+        for _, live_wav in pairs:
+            live, fs = load_wav(live_wav)
+            assert fs == 22050
+            iters.append(iter(np.array_split(live, 4096)))
+        done = [False] * len(pairs)
+        while not all(done):
+            bufs: List[Optional[np.ndarray]] = []
+            for i, it in enumerate(iters):
+                try:
+                    bufs.append(next(it))
+                except StopIteration:
+                    done[i] = True
+                    bufs.append(None)
+            ms.insert(bufs)
+        ms.flush()
+        paths = ms.paths()
+        results = []
+        for i, (ref_wav, live_wav) in enumerate(pairs):
+            score = PathScorer.for_pair(ref_wav, live_wav).score(paths[i])
+            result = PairResult(ref_wav, live_wav, self.engine, np.asarray(paths[i]), score)
+            results.append(result)
+            if verbose:
+                self._print_result(result)
+        return results
 
 
 def run_simple(ref_wav: str, live_wav: str, engines: Sequence[str] = ENGINES, dtype=np.float32, verbose: bool = True) -> Dict[str, PairResult]:

@@ -83,3 +83,18 @@ def test_corpus_sweep_fused_mode(synthetic_corpus):
         assert r.score.count > 20
         assert r.score.pct_off_beats[3] <= 10.0
     assert np.isfinite(report.mean_error)
+
+
+def test_corpus_sweep_fused_wtw_batched(synthetic_corpus):
+    """engine='wtw' mode='fused' runs the whole sweep as ONE multi-stream
+    batch (every pair a stream of the vmapped stepper); committed paths are
+    identical to per-pair solo AsyncWTW alignment."""
+    from real_time_audio_sync_tpu.eval.corpus import align_pair, corpus_pairs
+
+    runner = CorpusRunner(synthetic_corpus, engine="wtw", mode="fused")
+    report = runner.evaluate(verbose=False)
+    assert len(report.results) == 2 and not report.skipped
+    for r, (ref_wav, live_wav) in zip(report.results, corpus_pairs(synthetic_corpus)):
+        solo = align_pair(ref_wav, live_wav, "wtw", mode="fused")
+        assert [tuple(p) for p in r.path] == [tuple(p) for p in solo.path]
+        assert r.score.pct_off_beats[3] <= 10.0
