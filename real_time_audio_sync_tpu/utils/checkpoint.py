@@ -101,3 +101,48 @@ def load_wtw_state(wtw, path: str) -> None:
     wtw.buf = SampleFIFO.from_array(data["buf"], wtw.dtype)
     wtw.path = [tuple(p) for p in data["path"]]
     wtw.chroma_ptr, wtw.live_ptr, wtw.ref_ptr = (int(x) for x in data["ptrs"])
+
+
+def save_async_wtw_state(engine, path: str) -> None:
+    """Snapshot an AsyncWTW engine (models/wtw_async.py): device-resident
+    live chromagram, path buffers and scalar state, plus the host sample
+    FIFO.  Waits for in-flight dispatches (flush) so the snapshot is a
+    consistent frontier."""
+    engine.flush()
+    px, py, sc = (np.asarray(x) for x in engine._state)
+    np.savez_compressed(
+        path,
+        chroma_ref=engine.chroma_ref,
+        live_dev=np.asarray(engine._live_dev),
+        path_x=px, path_y=py, scalars=sc,
+        buf=engine.buf.to_array().astype(np.float64),
+        stopped=np.int32(engine._stopped_cached),
+    )
+
+
+def load_async_wtw_state(engine, path: str) -> None:
+    """Restore a snapshot into a compatibly-constructed AsyncWTW engine
+    (same reference recording, params, k_block and dtype)."""
+    import jax
+    import jax.numpy as jnp
+
+    from real_time_audio_sync_tpu.models.wtw import SampleFIFO
+
+    data = np.load(path)
+    if data["chroma_ref"].shape != engine.chroma_ref.shape or not np.array_equal(
+        data["chroma_ref"], engine.chroma_ref
+    ):
+        raise ValueError("checkpoint was taken against a different reference recording")
+    for name, cur in (("live_dev", engine._live_dev), ("path_x", engine._state[0]),
+                      ("path_y", engine._state[1]), ("scalars", engine._state[2])):
+        if data[name].shape != cur.shape:
+            raise ValueError(
+                f"checkpoint field {name!r} has shape {data[name].shape}, engine expects {cur.shape}")
+    engine._live_dev = jax.device_put(jnp.asarray(data["live_dev"]))
+    engine._state = tuple(
+        jax.device_put(jnp.asarray(data[n])) for n in ("path_x", "path_y", "scalars")
+    )
+    engine.buf = SampleFIFO.from_array(data["buf"], engine.dtype)
+    engine._status = None
+    engine._stopped_cached = bool(int(data["stopped"]))
+    engine._last_point = None

@@ -156,3 +156,48 @@ def test_wtw_checkpoint_resume(tmp_path):
             break
     assert resumed.path == full.path
     assert resumed.live_ptr == full.live_ptr and resumed.ref_ptr == full.ref_ptr
+
+
+def test_async_wtw_checkpoint_resume(tmp_path):
+    """AsyncWTW device state round-trips through .npz: resuming in a fresh
+    engine continues to the identical committed path and pointers."""
+    from real_time_audio_sync_tpu.models.wtw_async import AsyncWTW
+    from real_time_audio_sync_tpu.utils.checkpoint import (
+        load_async_wtw_state,
+        save_async_wtw_state,
+    )
+    from real_time_audio_sync_tpu.utils.wavio import write_wav
+    from tests.test_wtw import _synthetic_performance, WTW_PARAMS
+
+    ref = _synthetic_performance(seconds=12.0, seed=3)
+    idx = np.linspace(0, len(ref) - 1, int(len(ref) * 1.05))
+    live = np.interp(idx, np.arange(len(ref)), ref)
+    ref_path = str(tmp_path / "ref.wav")
+    write_wav(ref_path, ref)
+
+    chunks = np.array_split(live, 173)  # unaligned chunking
+    full = AsyncWTW(ref_path, WTW_PARAMS, k_block=8, dtype=np.float64)
+    for buf in chunks:
+        if full.insert(buf) == "stop":
+            break
+    full.flush()
+
+    half = len(chunks) // 2
+    first = AsyncWTW(ref_path, WTW_PARAMS, k_block=8, dtype=np.float64)
+    for buf in chunks[:half]:
+        first.insert(buf)
+    ckpt = str(tmp_path / "awtw.npz")
+    save_async_wtw_state(first, ckpt)
+    resumed = AsyncWTW(ref_path, WTW_PARAMS, k_block=8, dtype=np.float64)
+    load_async_wtw_state(resumed, ckpt)
+    for buf in chunks[half:]:
+        if resumed.insert(buf) == "stop":
+            break
+    resumed.flush()
+    assert resumed.path == full.path
+    assert resumed.pointers == full.pointers
+
+    other = AsyncWTW(ref_path, {**WTW_PARAMS, "dtw_win_size": 4096 * 5},
+                     k_block=8, dtype=np.float64)
+    with pytest.raises(ValueError):
+        load_async_wtw_state(other, ckpt)
