@@ -48,6 +48,26 @@ from real_time_audio_sync_tpu.models.wtw import SampleFIFO, _window_cost
 from real_time_audio_sync_tpu.ops.wavefront import WTW_SPEC, backtrack, wavefront_dp
 from real_time_audio_sync_tpu.utils.wavio import load_wav
 
+def build_span(fifo, k: int, k_block: int, hop: int, fft: int, dtype) -> np.ndarray:
+    """Extract one block's contiguous sample span from a :class:`SampleFIFO`
+    and consume its k·hop samples.
+
+    Always returns the static (k_block−1)·hop+fft length (ragged tails
+    zero-padded; padded columns are masked by n_valid in-program) and always
+    COPIES: the FIFO's ring storage is mutated in place by ``consume``/
+    ``extend`` while jnp.asarray may alias host memory (zero-copy on the CPU
+    backend) or defer the transfer past the consume."""
+    span_len = (k_block - 1) * hop + fft
+    avail = fifo.view((k - 1) * hop + fft)
+    if avail.shape[0] < span_len:
+        span = np.zeros(span_len, dtype)
+        span[: avail.shape[0]] = avail
+    else:
+        span = np.array(avail, dtype, copy=True)
+    fifo.consume(k * hop)
+    return span
+
+
 # scalar-state vector layout (int32[8])
 _W_CHROMA = 0  # columns appended so far
 _W_LIVE = 1  # live window origin (frames)
@@ -389,19 +409,8 @@ class AsyncWTW(StatusPolling):
     def _dispatch(self, k: int) -> None:
         """Ship the block's contiguous sample span and launch one step
         (framing and feature extraction happen inside the step program)."""
-        span_len = (self.k_block - 1) * self.hop_size + self.fft_len
-        avail = self.buf.view((k - 1) * self.hop_size + self.fft_len)
-        if avail.shape[0] < span_len:  # ragged tail: zero-padded, masked by n_valid
-            span = np.zeros(span_len, self.dtype)
-            span[: avail.shape[0]] = avail
-        else:
-            # MUST copy: ``avail`` is a view of the FIFO's ring storage and
-            # ``consume`` below mutates it in place, while jnp.asarray may
-            # alias host memory (zero-copy on the CPU backend) or defer the
-            # transfer past the consume.
-            span = np.array(avail, self.dtype, copy=True)
-        span = jnp.asarray(span)
-        self.buf.consume(k * self.hop_size)
+        span = build_span(self.buf, k, self.k_block, self.hop_size,
+                          self.fft_len, self.dtype)
         px, py, sc = self._state
         self._live_dev, px, py, sc, status = self._step(
             self._live_dev, self._ref_dev, px, py, sc, span, np.int32(k),

@@ -34,6 +34,26 @@ from real_time_audio_sync_tpu.models.online_core import (
 )
 
 
+def batch_axis_sharding_put(mesh: Mesh):
+    """``device_put`` along ALL mesh axes over the leading (batch) dim — a
+    partial spec would silently replicate across the remaining axes of a
+    multi-axis mesh.  Accepts numpy arrays directly (no default-device
+    materialization)."""
+    axes = tuple(mesh.axis_names)
+    return lambda x: jax.device_put(
+        x, NamedSharding(mesh, P(axes, *(None,) * (np.ndim(x) - 1)))
+    )
+
+
+def require_batch_divisible(mesh: Mesh, b: int) -> None:
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    if b % n_dev:
+        raise ValueError(
+            f"stream count {b} must be divisible by the mesh's {n_dev} "
+            f"devices (pad with inactive dummy streams)"
+        )
+
+
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("states",))
 def _batched_insert(states, cols, refs, ref_lens, active, cfg: OnlineConfig):
     """One vmapped insert step; ``active=False`` streams are frozen; stop
@@ -82,20 +102,8 @@ class MultiStreamFollower:
         # collectives (SURVEY.md §5.8)
         self.mesh = mesh
         if mesh is not None:
-            n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
-            if self.b % n_dev:
-                raise ValueError(
-                    f"stream count {self.b} must be divisible by the mesh's "
-                    f"{n_dev} devices (pad with inactive dummy streams)"
-                )
-            # shard over ALL mesh axes (a multi-axis mesh partitions the
-            # batch by the full device count, matching the divisibility
-            # check — a single-axis spec would silently replicate across
-            # the remaining axes)
-            axes = tuple(mesh.axis_names)
-            self._put = lambda x: jax.device_put(
-                x, NamedSharding(mesh, P(axes, *(None,) * (np.ndim(x) - 1)))
-            )
+            require_batch_divisible(mesh, self.b)
+            self._put = batch_axis_sharding_put(mesh)
         else:
             # single chip: pass host arrays straight into the jitted call —
             # jit's argument-transfer path beats an explicit device_put by

@@ -23,12 +23,12 @@ committed path is independent of how the other streams' audio arrives).
 
 from __future__ import annotations
 
+import time
 from typing import List, Optional, Sequence, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from real_time_audio_sync_tpu.config import WTWParams
 from real_time_audio_sync_tpu.features.chroma import chroma_from_samples, frontend_constants
@@ -39,6 +39,11 @@ from real_time_audio_sync_tpu.models.wtw_async import (
     _W_PLEN,
     _W_REF,
     _make_multi_wtw_step,
+    build_span,
+)
+from real_time_audio_sync_tpu.parallel.serving import (
+    batch_axis_sharding_put,
+    require_batch_divisible,
 )
 from real_time_audio_sync_tpu.utils.wavio import load_wav
 
@@ -89,31 +94,26 @@ class MultiStreamWTW:
 
         # mesh: shard every batched leaf along the stream axis (all mesh
         # axes — a partial spec would silently replicate); single chip: let
-        # jit's argument-transfer path place things
+        # jit's argument-transfer path place per-block args (an explicit
+        # device_put per dispatch loses badly on relay-attached TPUs,
+        # parallel/serving.py) and device_put only the persistent state
         self.mesh = mesh
         if mesh is not None:
-            n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
-            if self.b % n_dev:
-                raise ValueError(
-                    f"stream count {self.b} must be divisible by the mesh's "
-                    f"{n_dev} devices (pad with dummy streams)"
-                )
-            axes = tuple(mesh.axis_names)
-            self._put = lambda x: jax.device_put(
-                jnp.asarray(x),
-                NamedSharding(mesh, P(axes, *(None,) * (np.ndim(x) - 1))),
-            )
+            require_batch_divisible(mesh, self.b)
+            put_init = batch_axis_sharding_put(mesh)
+            self._put_step = put_init
         else:
-            self._put = lambda x: jax.device_put(jnp.asarray(x))
+            put_init = jax.device_put
+            self._put_step = lambda x: x
 
-        self._ref_dev = self._put(refs_padded)
-        self._live_dev = self._put(np.zeros((self.b, f, n_buf), self.dtype))
-        self._m_dev = self._put(self.ms)
-        self._ncap_dev = self._put(self.n_caps)
+        self._ref_dev = put_init(refs_padded)
+        self._live_dev = put_init(np.zeros((self.b, f, n_buf), self.dtype))
+        self._m_dev = put_init(self.ms)
+        self._ncap_dev = put_init(self.n_caps)
         self._state = (
-            self._put(np.zeros((self.b, p_cap), np.int32)),
-            self._put(np.zeros((self.b, p_cap), np.int32)),
-            self._put(np.zeros((self.b, 8), np.int32)),
+            put_init(np.zeros((self.b, p_cap), np.int32)),
+            put_init(np.zeros((self.b, p_cap), np.int32)),
+            put_init(np.zeros((self.b, 8), np.int32)),
         )
         # multi-stream uses the scan window DP: under vmap the predicated
         # window executes for the whole batch whenever any stream is due,
@@ -129,6 +129,10 @@ class MultiStreamWTW:
         self._status = None  # (B, 4) device array from the newest dispatch
         self._stopped = np.zeros(self.b, bool)
         self._span_len = (self.k_block - 1) * self.hop_size + self.fft_len
+        # is_ready probes may cost a relay round trip; throttle like
+        # models/online_core.StatusPolling
+        self.poll_min_interval = 0.25
+        self._last_poll_time = 0.0
 
     # ------------------------------------------------------------------
     def _avail_cols(self, i: int) -> int:
@@ -138,22 +142,32 @@ class MultiStreamWTW:
     def _spans(self, ks: np.ndarray) -> np.ndarray:
         spans = np.zeros((self.b, self._span_len), self.dtype)
         for i, k in enumerate(ks):
-            if k <= 0:
-                continue
-            avail = self.bufs[i].view((int(k) - 1) * self.hop_size + self.fft_len)
-            spans[i, : avail.shape[0]] = avail  # copy — FIFO mutates in place
-            self.bufs[i].consume(int(k) * self.hop_size)
+            if k > 0:
+                spans[i] = build_span(self.bufs[i], int(k), self.k_block,
+                                      self.hop_size, self.fft_len, self.dtype)
         return spans
 
     def _dispatch(self, ks: np.ndarray) -> None:
         spans = self._spans(ks)
         px, py, sc = self._state
-        self._live_dev, px, py, sc, self._status = self._step(
+        self._live_dev, px, py, sc, status = self._step(
             self._live_dev, self._ref_dev, px, py, sc,
-            self._put(spans), self._put(ks.astype(np.int32)),
+            self._put_step(spans), self._put_step(ks.astype(np.int32)),
             self._m_dev, self._ncap_dev, *self._frontend_consts,
         )
         self._state = (px, py, sc)
+        # harvest the PREVIOUS status if it completed — the newest vector is
+        # almost never ready when the host looks, so probing it alone would
+        # leave the stopped mask permanently stale (same design as
+        # StatusPolling._swap_status); rate-limited
+        old = self._status
+        if old is not None and not self._stopped.all():
+            now = time.monotonic()
+            if now - self._last_poll_time >= self.poll_min_interval:
+                self._last_poll_time = now
+                if old.is_ready():
+                    self._consume(np.asarray(old))
+        self._status = status
 
     def insert(self, stream_bufs: Sequence) -> np.ndarray:
         """Append raw samples per stream (``None`` = no new audio) and
@@ -177,9 +191,18 @@ class MultiStreamWTW:
     def _poll(self, block: bool = False) -> None:
         if self._status is None:
             return
-        if not block and not self._status.is_ready():
-            return
+        if not block:
+            now = time.monotonic()
+            if now - self._last_poll_time < self.poll_min_interval:
+                return
+            self._last_poll_time = now  # throttle the probe, not the harvest
+            if not self._status.is_ready():
+                return
         vec = np.asarray(self._status)
+        self._status = None
+        self._consume(vec)
+
+    def _consume(self, vec: np.ndarray) -> None:
         self._status = None
         self._stopped |= (vec[:, 0] & 1).astype(bool)
         if (vec[:, 0] & 2).any():  # pragma: no cover - exact capacity bound

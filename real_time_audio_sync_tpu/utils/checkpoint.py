@@ -117,6 +117,8 @@ def save_async_wtw_state(engine, path: str) -> None:
         path_x=px, path_y=py, scalars=sc,
         buf=engine.buf.to_array().astype(np.float64),
         stopped=np.int32(engine._stopped_cached),
+        dtype=np.str_(engine.dtype.name),
+        k_block=np.int32(engine.k_block),
     )
 
 
@@ -133,6 +135,15 @@ def load_async_wtw_state(engine, path: str) -> None:
         data["chroma_ref"], engine.chroma_ref
     ):
         raise ValueError("checkpoint was taken against a different reference recording")
+    # shapes alone don't catch these: a dtype mismatch would silently mix
+    # precisions in the next step, a k_block mismatch would change the
+    # dispatch batching the snapshot's FIFO remainder assumes
+    if str(data["dtype"]) != engine.dtype.name:
+        raise ValueError(
+            f"checkpoint dtype {data['dtype']} != engine dtype {engine.dtype.name}")
+    if int(data["k_block"]) != engine.k_block:
+        raise ValueError(
+            f"checkpoint k_block {int(data['k_block'])} != engine k_block {engine.k_block}")
     for name, cur in (("live_dev", engine._live_dev), ("path_x", engine._state[0]),
                       ("path_y", engine._state[1]), ("scalars", engine._state[2])):
         if data[name].shape != cur.shape:
