@@ -67,7 +67,13 @@ class StatusPolling:
 
     Non-blocking reads are rate-limited (each is a ~27 ms relay round-trip
     on tunneled TPUs; an eager poll per hop would serialize the pipeline),
-    so stop detection lags by at most ``poll_min_interval`` seconds."""
+    so stop detection lags by at most ``poll_min_interval`` seconds.
+
+    Measured platform caveat: ``is_ready`` flags of a computation's outputs
+    resolve asynchronously (on the CPU backend a status vector can report
+    not-ready after ``block_until_ready`` on its sibling state output), so a
+    probe may miss a genuinely-completed status — harmless by design, a
+    later probe or a blocking ``flush``/property read picks it up."""
 
     def _init_status_polling(self) -> None:
         self._status = None  # newest un-read status vector (device array)

@@ -79,3 +79,32 @@ def test_multistream_wtw_validation(chopin_pair):
     ms = MultiStreamWTW([ref_wav], WTW_PARAMS, dtype=np.float64)
     with pytest.raises(ValueError, match="expected 1 buffers"):
         ms.insert([np.zeros(100), np.zeros(100)])
+
+
+def test_multistream_wtw_stop_surfaces_before_flush(chopin_pair):
+    """Per-stream stop flags surface through the dispatch-time status
+    harvest — a caller must not need flush() to learn a stream ended (the
+    round-trip-free analog of StatusPolling._swap_status).  The device
+    queue is drained once mid-stream (state sync, no status read) to stand
+    in for a real-time-paced device that keeps up with the feed."""
+    import jax
+
+    ref_wav, live_wav = chopin_pair
+    rach, _ = load_wav(live_wav)
+    long_live = np.concatenate([rach, rach, rach])  # exhausts the reference
+    ms = MultiStreamWTW([ref_wav], WTW_PARAMS, k_block=8, dtype=np.float64)
+    ms.poll_min_interval = 0.0
+    seen_before_flush = False
+    chunks = np.array_split(long_live, 64)
+    for i, b in enumerate(chunks):
+        stopped = ms.insert([b])
+        if stopped[0]:
+            seen_before_flush = True
+            break
+        if i == 40:  # past the stop point: let the device catch up.
+            # NB: block on the status object itself — readiness flags of
+            # sibling outputs resolve asynchronously on the CPU backend, so
+            # syncing the state alone can leave the status's is_ready False.
+            jax.block_until_ready(ms._status)
+    assert seen_before_flush
+    assert ms.flush()[0]
