@@ -140,13 +140,17 @@ def main() -> int:
         sys.path.insert(0, ".")
         from tests.oracle import OracleOTW
 
-        oracle = OracleOTW(ref.astype(np.float64), PARAMS["c"], PARAMS["max_run_count"], "otw")
         live64 = live.astype(np.float64)
-        t0 = time.perf_counter()
-        for i in range(n_frames):
-            if oracle.insert(live64[:, i]) == "stop":
-                break
-        py_wall = time.perf_counter() - t0
+
+        def run_oracle():
+            oracle = OracleOTW(ref.astype(np.float64), PARAMS["c"], PARAMS["max_run_count"], "otw")
+            t0 = time.perf_counter()
+            for i in range(n_frames):
+                if oracle.insert(live64[:, i]) == "stop":
+                    break
+            return time.perf_counter() - t0
+
+        py_wall = min(run_oracle() for _ in range(2))  # best-of-2: conservative denominator
         py_rtf = audio_sec / py_wall
         vs_baseline = rtf / py_rtf
         log(f"reference-equivalent python streaming: {py_wall:.2f} s -> RTF {py_rtf:.0f}x; "
