@@ -106,3 +106,24 @@ def test_real_audio_chroma(chopin_pair):
     # columns are unit-normalized (or zero)
     norms = np.linalg.norm(out, axis=0)
     assert np.all((np.abs(norms - 1) < 1e-9) | (norms == 0))
+
+
+def test_frame_span_gather_matches_reshape_and_numpy():
+    """frame_span's two implementations (reshape+concat for n_fft=2·hop,
+    gather otherwise) agree with each other and with numpy striding."""
+    import jax.numpy as jnp
+
+    from real_time_audio_sync_tpu.features.chroma import frame_span
+
+    rng = np.random.default_rng(5)
+    hop, n_fft, t = 64, 128, 7
+    x = rng.random((t - 1) * hop + n_fft)
+    want = np.stack([x[i * hop : i * hop + n_fft] for i in range(t)])
+    got_reshape = np.asarray(frame_span(jnp.asarray(x), t, n_fft, hop))
+    np.testing.assert_array_equal(got_reshape, want)
+    # force the gather branch with a non-half hop
+    hop2, t2 = 48, 5
+    x2 = rng.random((t2 - 1) * hop2 + n_fft)
+    want2 = np.stack([x2[i * hop2 : i * hop2 + n_fft] for i in range(t2)])
+    got_gather = np.asarray(frame_span(jnp.asarray(x2), t2, n_fft, hop2))
+    np.testing.assert_array_equal(got_gather, want2)
