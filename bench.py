@@ -131,9 +131,8 @@ def main() -> int:
     xla_wall, _ = min((run_block_stream(lambda: OnlineTimeWarping(ref, PARAMS)) for _ in range(2)), key=lambda x: x[0])
     log(f"  (XLA scan engine, same mode: {xla_wall/n_frames*1e3:.3f} ms/frame -> RTF {audio_sec/xla_wall:.0f}x)")
 
-    # --- 2. reference-implementation baseline on this host (numpy oracle),
-    # then the ONE reported JSON line — printed EARLY so a timeout or crash
-    # in the later diagnostics can never lose the headline metric
+    # --- 2. reference-implementation baseline on this host (numpy oracle) —
+    # completes the reported result; everything after this is diagnostics
     vs_baseline = None
     py_rtf = None
     try:
@@ -159,14 +158,26 @@ def main() -> int:
         log(f"python baseline unavailable ({e}); vs_baseline = RTF vs 1x real-time")
         vs_baseline = rtf
 
-    print(json.dumps({
+    # the result is COMPLETE here; it prints once at the end (the driver
+    # parses the tail), and the crash handler / watchdog below emit it if
+    # a later diagnostic dies or hangs (relay outages mid-run are real)
+    global _result
+    _result = {
         "metric": "streaming_otw_rtf",
         "value": round(rtf, 1),
         "unit": "audio_sec/wall_sec",
         "vs_baseline": round(vs_baseline, 1),
-    }), flush=True)
-    global _json_printed
-    _json_printed = True
+    }
+    import threading
+
+    def _watchdog():
+        time.sleep(_WATCHDOG_S)
+        _emit_result()
+        import os
+
+        os._exit(0)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
 
     # --- 3. per-FRAME pipelined streaming (zero added buffering latency),
     # on the same production backend as the headline (fused k_block=1;
@@ -458,14 +469,28 @@ def main() -> int:
     except Exception as e:
         log(f"wide-band diagnostic skipped ({e})")
 
+    _emit_result()
     return 0
 
 
+_result = None
 _json_printed = False
+_WATCHDOG_S = 540  # hard cap on diagnostics; the result is emitted regardless
+
+
+def _emit_result():
+    """Print the ONE result line exactly once (normal end, crash handler
+    and watchdog all funnel here)."""
+    global _json_printed
+    if _result is not None and not _json_printed:
+        _json_printed = True
+        print(json.dumps(_result), flush=True)
+
 
 if __name__ == "__main__":
     try:
         sys.exit(main())
-    except Exception as e:  # headline already out — don't fail the recording
+    except Exception as e:  # emit the computed result — don't fail the recording
         log(f"bench diagnostics aborted: {e!r}")
+        _emit_result()
         sys.exit(0 if _json_printed else 1)
