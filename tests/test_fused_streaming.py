@@ -23,8 +23,12 @@ def _interpret_mode():
 PARAMS = {"c": 10, "max_run_count": 3}
 
 
-@pytest.mark.parametrize("seed,block", [(0, 8), (1, 1), (2, 5)])
-def test_fused_streaming_matches_xla_engine(seed, block):
+@pytest.mark.parametrize("seed,block,k_block", [
+    (0, 8, 8), (1, 1, 8), (2, 5, 8),
+    (3, 1, 1),  # per-frame engine program (bench diagnostic 3)
+    (4, 5, 2),  # oversize feeds split across k_block=2 launches
+])
+def test_fused_streaming_matches_xla_engine(seed, block, k_block):
     rng = np.random.default_rng(seed)
     ref, live = _make_pair(rng, n_ref=48, stretch=1.25)
     xla = OnlineTimeWarping(ref, PARAMS, dtype=np.float32)
@@ -32,7 +36,7 @@ def test_fused_streaming_matches_xla_engine(seed, block):
         if xla.insert(live[:, i]) == "stop":
             break
 
-    fused = FusedStreamingEngine(ref, PARAMS, k_block=8, interpret=True)
+    fused = FusedStreamingEngine(ref, PARAMS, k_block=k_block, interpret=True)
     for s in range(0, live.shape[1], block):
         fused.insert_block_nowait(live[:, s : s + block])
     fused.flush()
