@@ -97,10 +97,10 @@ def main() -> int:
     # window) on the fused Pallas insert kernel with persistent VMEM state
     # (models/fused_streaming.py); falls back to the XLA engine if the
     # platform can't run the kernel
-    def make_fused():
+    def make_fused(k_block=HOP_FRAMES):
         from real_time_audio_sync_tpu.models import FusedStreamingEngine
 
-        return FusedStreamingEngine(ref.astype(np.float32), PARAMS, k_block=HOP_FRAMES)
+        return FusedStreamingEngine(ref.astype(np.float32), PARAMS, k_block=k_block)
 
     try:
         make_fused().insert_block_nowait(live[:, :HOP_FRAMES])
@@ -168,10 +168,13 @@ def main() -> int:
         "unit": "audio_sec/wall_sec",
         "vs_baseline": round(vs_baseline, 1),
     }
+    import signal
     import threading
 
     def _watchdog():
         time.sleep(_WATCHDOG_S)
+        log(f"watchdog: diagnostics exceeded {_WATCHDOG_S} s — truncating "
+            f"(remaining sections absent from this run); result already final")
         _emit_result()
         import os
 
@@ -179,14 +182,25 @@ def main() -> int:
 
     threading.Thread(target=_watchdog, daemon=True).start()
 
+    def _on_signal(signum, frame):  # driver timeout / Ctrl-C mid-diagnostics
+        log(f"signal {signum} during diagnostics; emitting result")
+        _emit_result()
+        import os
+
+        os._exit(0)
+
+    for _sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(_sig, _on_signal)
+        except (ValueError, OSError):  # non-main thread / unsupported
+            pass
+
     # --- 3. per-FRAME pipelined streaming (zero added buffering latency),
     # on the same production backend as the headline (fused k_block=1;
     # measured 108x vs the XLA engine's 89x under identical relay load)
     def make_frame_engine():
         if backend == "fused-pallas":
-            from real_time_audio_sync_tpu.models import FusedStreamingEngine
-
-            return FusedStreamingEngine(ref.astype(np.float32), PARAMS, k_block=1)
+            return make_fused(k_block=1)
         return OnlineTimeWarping(ref, PARAMS)
 
     def run_frame_stream():
@@ -224,11 +238,11 @@ def main() -> int:
     t1, t128 = time_block(1), time_block(128)
     on_device_us = (t128 - t1) / 127 * 1e6
     if on_device_us <= 0:
-        # relay round-trip jitter (±10 ms) swamped the 127-insert delta
-        # (~4 ms at the measured ~34 us/insert) — still substantiates <1 ms
-        log(f"on-device per-insert cost: below the relay noise floor "
-            f"(K=1 block {t1*1e3:.1f} ms vs K=128 block {t128*1e3:.1f} ms -> "
-            f"127 extra inserts took <= relay jitter; p50 target <1 ms met)")
+        # relay round-trip jitter swamped the 127-insert delta — this run
+        # cannot resolve the per-insert cost (historically ~34 us when the
+        # relay is quiet); report it as inconclusive, not as a pass
+        log(f"on-device per-insert cost: inconclusive — delta below the relay "
+            f"noise floor (K=1 block {t1*1e3:.1f} ms vs K=128 block {t128*1e3:.1f} ms)")
     else:
         log(f"on-device per-insert cost: {on_device_us:.0f} us "
             f"(K=1 block {t1*1e3:.1f} ms, K=128 block {t128*1e3:.1f} ms; p50 target <1 ms)")
@@ -477,14 +491,20 @@ _result = None
 _json_printed = False
 _WATCHDOG_S = 540  # hard cap on diagnostics; the result is emitted regardless
 
+import threading as _threading
+
+_emit_lock = _threading.Lock()
+
 
 def _emit_result():
-    """Print the ONE result line exactly once (normal end, crash handler
-    and watchdog all funnel here)."""
+    """Print the ONE result line exactly once (normal end, crash handler,
+    signal handler and watchdog all funnel here; locked — two threads
+    racing the check-then-print could garble the tail line)."""
     global _json_printed
-    if _result is not None and not _json_printed:
-        _json_printed = True
-        print(json.dumps(_result), flush=True)
+    with _emit_lock:
+        if _result is not None and not _json_printed:
+            _json_printed = True
+            print(json.dumps(_result), flush=True)
 
 
 if __name__ == "__main__":
