@@ -108,3 +108,23 @@ def test_multistream_wtw_stop_surfaces_before_flush(chopin_pair):
             jax.block_until_ready(ms._status)
     assert seen_before_flush
     assert ms.flush()[0]
+
+
+def test_multistream_wtw_live_app_window_size(chopin_pair):
+    """Serving at the live-app window (wtw_live.py:106, w=100, one window
+    slot per block): parity vs solo AsyncWTW at the same params."""
+    ref_wav, live_wav = chopin_pair
+    rach, _ = load_wav(live_wav)
+    params = {"fft_len": 4096, "hop_size": 2048,
+              "dtw_win_size": 4096 * 50, "dtw_hop_size": 2048 * 50}
+    ms = MultiStreamWTW([ref_wav, ref_wav], params, k_block=8, dtype=np.float64)
+    for b in np.array_split(rach, 32):
+        ms.insert([b, b])
+    ms.flush()
+    solo = AsyncWTW(ref_wav, params, k_block=8, dtype=np.float64)
+    for b in np.array_split(rach, 32):
+        solo.insert(b)
+    solo.flush()
+    assert len(solo.path) > 100
+    assert ms.paths()[0] == solo.path and ms.paths()[1] == solo.path
+    assert ms.pointers()[0] == solo.pointers
