@@ -14,7 +14,8 @@ Measures, on the real audio shipped with the reference corpus (the Chopin
    (tests/test_online.py::test_pipelined_inserts_match_sync).
 2. diagnostics (stderr):
    - per-FRAME pipelined streaming (one dispatch per frame, zero added
-     buffering latency) — also clears the ≥100× target;
+     buffering latency) — clears the ≥100× target when the relay's
+     per-dispatch floor allows (50–190× observed across relay states);
    - on-device per-insert cost isolated from relay overhead via block-size
      timing deltas (substantiates the <1 ms p50 target);
    - idle-device insert latency (dominated by the ~27 ms relay round-trip
