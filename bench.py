@@ -168,6 +168,10 @@ def main() -> int:
         "value": round(rtf, 1),
         "unit": "audio_sec/wall_sec",
         "vs_baseline": round(vs_baseline, 1),
+        # flipped to True only when every diagnostic section ran; a crash,
+        # signal or watchdog truncation emits the headline with False so
+        # downstream consumers can tell a full run from a truncated one
+        "diagnostics_complete": False,
     }
     import signal
     import threading
@@ -484,6 +488,7 @@ def main() -> int:
     except Exception as e:
         log(f"wide-band diagnostic skipped ({e})")
 
+    _result["diagnostics_complete"] = True
     _emit_result()
     return 0
 

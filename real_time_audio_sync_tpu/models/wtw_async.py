@@ -471,4 +471,12 @@ class AsyncWTW(StatusPolling):
 
     @property
     def chroma_live(self) -> np.ndarray:
+        """Device-resident live chromagram (F, cap) — synchronizing read.
+
+        Columns at indices >= ``chroma_ptr`` are unspecified: the hoisted
+        block body batch-appends a whole block's columns before evaluating
+        stop events, so on a mid-block margin/capacity stop the tail beyond
+        ``chroma_ptr`` may hold columns the per-column reference semantics
+        would never have written.  Nothing in-program reads past
+        ``chroma_ptr``; compare buffers only up to it."""
         return np.asarray(self._live_dev)

@@ -55,7 +55,16 @@ class MultiStreamWTW:
     arrays).  :meth:`insert` takes one raw-sample buffer per stream (``None``
     for streams with no new audio); :meth:`flush` drains ragged tails and
     waits.  ``paths()`` / ``pointers()`` / ``stopped`` read back per-stream
-    results (synchronizing)."""
+    results (synchronizing).
+
+    Dispatch cadence is driven by the FASTEST stream: a block is dispatched
+    whenever any stream has ``k_block`` columns buffered, and every other
+    stream contributes whatever it has (zero-padded to ``k_block``).  With
+    heavily skewed feeds a slow stream therefore rides many small dispatches
+    it would not pay solo — committed paths are unaffected (feed-skew
+    invariance is tested), but per-stream dispatch count, and thus relay
+    overhead, scales with the fastest stream's cadence.  Feed streams at
+    comparable rates (the serving regime) for best throughput."""
 
     def __init__(self, refs: Sequence, params, k_block: int = 8,
                  dtype=np.float32, mesh: Optional[Mesh] = None):

@@ -119,6 +119,8 @@ def save_async_wtw_state(engine, path: str) -> None:
         stopped=np.int32(engine._stopped_cached),
         dtype=np.str_(engine.dtype.name),
         k_block=np.int32(engine.k_block),
+        dtw_win_size=np.int32(engine.params.dtw_win_size),
+        dtw_hop_size=np.int32(engine.params.dtw_hop_size),
     )
 
 
@@ -144,6 +146,15 @@ def load_async_wtw_state(engine, path: str) -> None:
     if int(data["k_block"]) != engine.k_block:
         raise ValueError(
             f"checkpoint k_block {int(data['k_block'])} != engine k_block {engine.k_block}")
+    # window geometry: two engines on the same reference with different
+    # window params can share every array shape (p_cap collision), in which
+    # case a mismatched snapshot would restore silently and the scalar
+    # pointers would be reinterpreted under the wrong window geometry
+    for field in ("dtw_win_size", "dtw_hop_size"):
+        if field in data and int(data[field]) != getattr(engine.params, field):
+            raise ValueError(
+                f"checkpoint {field} {int(data[field])} != engine "
+                f"{field} {getattr(engine.params, field)}")
     for name, cur in (("live_dev", engine._live_dev), ("path_x", engine._state[0]),
                       ("path_y", engine._state[1]), ("scalars", engine._state[2])):
         if data[name].shape != cur.shape:
