@@ -4,31 +4,40 @@ Measures, on the real audio shipped with the reference corpus (the Chopin
 20-bar pair — the only wavs present in the mount):
 
 1. **streaming_otw_rtf** (the ONE reported JSON line): wall-clock real-time
-   factor of pipelined streaming — the full Dixon-2005 online recurrence
-   (every row/column band update, direction decision and path commit of
-   otw_eran.py:38-85) with one asynchronous device dispatch per 8-frame hop
-   window (issued while audio for the next window would accumulate, i.e.
-   VERDICT round-1 item 1b), never synchronizing on the device inside the
-   stream.  "stop" and score position are polled from a 16-byte status
-   vector.  The committed path is identical to synchronous per-frame insert
-   (tests/test_online.py::test_pipelined_inserts_match_sync).
+   factor of PER-FRAME adaptive streaming — the full Dixon-2005 online
+   recurrence (every row/column band update, direction decision and path
+   commit of otw_eran.py:38-85), frames delivered ONE AT A TIME exactly as
+   the reference's hop-by-hop loop (livenote_live.py:185-208), with zero
+   input buffering: each frame dispatches the moment it arrives whenever
+   the dispatch pipeline has room (free local is_ready probes), and frames
+   coalesce into one multi-column launch only while the pipeline is
+   saturated (models/fused_streaming.py feed()).  Added latency is bounded
+   by in-flight launches (sub-ms), never by waiting for future audio.
+   "stop" and score position are polled from a 16-byte status vector.  The
+   committed path is identical to synchronous per-frame insert (tested, and
+   asserted in this run).
 2. diagnostics (stderr):
-   - per-FRAME pipelined streaming (one dispatch per frame, zero added
-     buffering latency) — clears the ≥100× target when the relay's
-     per-dispatch floor allows (50–190× observed across relay states);
+   - pipelined block streaming (8-frame pre-buffered windows — the round-2
+     headline regime) and strict one-dispatch-per-frame streaming;
+   - score-position staleness under full-speed and REAL-TIME-PACED
+     streaming (p50/p99/max in hops) plus wall-clock drift — the
+     livenote_live.py:203-206 readout;
+   - MFU / roofline: achieved FLOP/s of the alignment step and the chroma
+     frontend vs chip peak, plus a per-stage latency budget table;
    - on-device per-insert cost isolated from relay overhead via block-size
      timing deltas (substantiates the <1 ms p50 target);
    - idle-device insert latency (dominated by the ~27 ms relay round-trip
      of this container's tunneled TPU; on directly-attached hardware the
      same dispatch+step is the on-device cost below);
-   - set_live scan / batched-corpus throughput;
+   - set_live scan / batched-corpus / fused multi-stream serving throughput;
    - beat-accuracy of each engine on the pair vs the recorded field-test
      regime (0-4% >1 beat, reference logs cited in BASELINE.md).
 
 ``vs_baseline`` compares against the reference implementation's measured
-throughput: the same recurrence run by a faithful numpy/python transcription
-(tests/oracle.py) streaming frame-by-frame on this host — the reference repo
-publishes no numbers (BASELINE.md), so its own code IS the baseline.
+throughput IN THE SAME REGIME: the same recurrence run by a faithful
+numpy/python transcription (tests/oracle.py) streaming frame-by-frame on
+this host, interleaved in the same session — the reference repo publishes
+no numbers (BASELINE.md), so its own code IS the baseline.
 """
 
 from __future__ import annotations
@@ -43,7 +52,8 @@ REF_WAV = "/root/reference/Songs/chopin/chopin_rubinstein_20b.wav"
 LIVE_WAV = "/root/reference/Songs/chopin/chopin_rachmaninoff_20b.wav"
 PARAMS = {"c": 50, "max_run_count": 3}  # livenote_live.py:94
 HOP_SEC = 2048 / 22050.0
-HOP_FRAMES = 8  # frames per pipelined dispatch (0.74 s of audio per window)
+HOP_FRAMES = 8  # frames per pipelined dispatch in BLOCK mode (diagnostic)
+FEED_K = 16  # max coalesced launch size for adaptive per-frame feed
 
 
 def log(msg):
@@ -94,10 +104,11 @@ def main() -> int:
     audio_sec = n_frames * HOP_SEC
     log(f"pair: ref {ref.shape[1]} frames, live {n_frames} frames ({audio_sec:.1f} s of audio)")
 
-    # --- 1. HEADLINE: pipelined block streaming (async dispatch per hop
-    # window) on the fused Pallas insert kernel with persistent VMEM state
-    # (models/fused_streaming.py); falls back to the XLA engine if the
-    # platform can't run the kernel
+    # --- 1. HEADLINE: adaptive PER-FRAME streaming (frames delivered one at
+    # a time, zero input buffering; dispatch coalescing only under pipeline
+    # saturation) on the fused Pallas insert kernel with persistent VMEM
+    # state (models/fused_streaming.py feed()); falls back to the XLA engine
+    # if the platform can't run the kernel
     def make_fused(k_block=HOP_FRAMES):
         from real_time_audio_sync_tpu.models import FusedStreamingEngine
 
@@ -112,6 +123,27 @@ def main() -> int:
         engine_factory = lambda: OnlineTimeWarping(ref, PARAMS)
         backend = "xla-scan"
 
+    def run_feed_stream():
+        if backend == "fused-pallas":
+            eng = make_fused(k_block=FEED_K)
+        else:
+            eng = OnlineTimeWarping(ref, PARAMS)
+            eng.feed = eng.insert_nowait  # XLA engine has no coalescing feed
+        t0 = time.perf_counter()
+        for i in range(n_frames):
+            if eng.feed(live[:, i]) == "stop":
+                break
+        eng.flush()
+        return time.perf_counter() - t0, eng
+
+    run_feed_stream()  # compile
+    feed_wall, feed_eng = min((run_feed_stream() for _ in range(3)), key=lambda x: x[0])
+    rtf = audio_sec / feed_wall
+    sizes = getattr(feed_eng, "dispatched_block_sizes", [1])
+    log(f"adaptive per-frame streaming ({backend}, coalesce<=k{FEED_K}): "
+        f"{feed_wall/n_frames*1e3:.3f} ms/frame -> RTF {rtf:.0f}x "
+        f"({len(sizes)} launches, p50 block {int(np.median(sizes))})")
+
     def run_block_stream(factory):
         eng = factory()
         t0 = time.perf_counter()
@@ -123,9 +155,8 @@ def main() -> int:
 
     run_block_stream(engine_factory)  # compile (two block shapes: full + ragged tail)
     block_wall, block_eng = min((run_block_stream(engine_factory) for _ in range(3)), key=lambda x: x[0])
-    rtf = audio_sec / block_wall
     log(f"pipelined block streaming ({HOP_FRAMES} frames/dispatch, {backend}): "
-        f"{block_wall/n_frames*1e3:.3f} ms/frame -> RTF {rtf:.0f}x")
+        f"{block_wall/n_frames*1e3:.3f} ms/frame -> RTF {audio_sec/block_wall:.0f}x")
 
     # same mode on the XLA scan engine, for comparison
     run_block_stream(lambda: OnlineTimeWarping(ref, PARAMS))
@@ -221,9 +252,49 @@ def main() -> int:
     frame_wall, frame_eng = min((run_frame_stream() for _ in range(2)), key=lambda x: x[0])
     frame_rtf = audio_sec / frame_wall
     vs_py = f" ({frame_rtf/py_rtf:.1f}x the python reference)" if py_rtf else ""
-    log(f"per-frame pipelined streaming ({backend}): "
+    log(f"strict one-dispatch-per-frame streaming ({backend}): "
         f"{frame_wall/n_frames*1e3:.3f} ms/frame -> RTF {frame_rtf:.0f}x{vs_py}")
     assert [tuple(p) for p in frame_eng.path] == [tuple(p) for p in block_eng.path]
+    assert [tuple(p) for p in feed_eng.path] == [tuple(p) for p in block_eng.path]
+
+    # --- 3b. score-position staleness + wall-clock drift under REAL-TIME
+    # pacing (the live regime: one frame per 92.9 ms hop; livenote_live.py
+    # 203-206 prints the analogous wall-clock drift readout).  Target: the
+    # polled position lags the newest dispatched frame by <= 1 hop.
+    try:
+        if backend == "fused-pallas":
+            rt_eng = make_fused(k_block=FEED_K)
+        else:
+            rt_eng = OnlineTimeWarping(ref, PARAMS)
+            rt_eng.feed = rt_eng.insert_nowait
+        rt_eng.poll_min_interval = HOP_SEC / 2  # harvest once per hop
+        n_rt = min(40, n_frames)  # ~3.7 s of real-time rehearsal
+        ages, drifts = [], []
+        t_start = time.perf_counter()
+        for i in range(n_rt):
+            deadline = t_start + i * HOP_SEC
+            while time.perf_counter() < deadline:
+                time.sleep(0.001)
+            rt_eng.feed(live[:, i])
+            rt_eng.poll()
+            ages.append(rt_eng.last_point_age_frames)
+            # drift: frames the wall clock expects vs frames actually fed
+            drifts.append((time.perf_counter() - t_start) / HOP_SEC - (i + 1))
+        rt_eng.flush()
+        ages = np.asarray(ages, float)
+        log(f"real-time-paced staleness: p50 {np.percentile(ages, 50):.0f} "
+            f"p99 {np.percentile(ages, 99):.0f} max {ages.max():.0f} hops "
+            f"(target <=1); wall-clock drift max {max(drifts):.3f} hops over "
+            f"{n_rt} hops")
+        # full-speed staleness: how far the device ran ahead of the polled
+        # position while streaming 401 frames flat out (harvest log of the
+        # headline run, in frames)
+        slog = np.asarray(feed_eng.staleness_log or [0], float)
+        log(f"full-speed harvest staleness: p50 {np.percentile(slog, 50):.0f} "
+            f"max {slog.max():.0f} frames over {len(slog)} harvests "
+            f"(in-flight cap {feed_eng.max_in_flight} launches x k{FEED_K})")
+    except Exception as e:
+        log(f"staleness diagnostic skipped ({e})")
 
     # --- 4. on-device per-insert cost, isolated from relay overhead:
     # median wall time of a K-insert block program minus a 1-insert block,
@@ -265,6 +336,98 @@ def main() -> int:
     log(f"idle-device synchronous insert (dispatch + status read): "
         f"p50 {np.percentile(lat_ms, 50):.2f} ms, p99 {np.percentile(lat_ms, 99):.2f} ms "
         f"(relay round-trip dominated; hop budget 92.9 ms)")
+
+    # --- 5b. MFU / roofline + per-stage latency budget (SURVEY.md §5.1).
+    # The alignment step is latency-bound BY DESIGN (a width-c band update
+    # per 92.9 ms hop); the MFU figures quantify the idle-MXU headroom that
+    # the serving/corpus modes exist to harvest.
+    try:
+        import jax.numpy as jnp
+
+        c = PARAMS["c"]
+        # per-insert FLOPs: row + ~1 column band update, each = (c+1) cosine
+        # costs (2F ops) + the log2(c+1)-stage min-plus chain (~3 ops/stage)
+        # + argmin/select overheads (~4 ops/cell)
+        stages = int(np.ceil(np.log2(c + 1)))
+        flops_insert = 2 * (c + 1) * (2 * 12 + 3 * stages + 4)
+        PEAK_BF16 = 197e12  # v5e MXU peak (f32 via bf16x3 ~ 1/4 of this)
+        if on_device_us > 0:
+            achieved = flops_insert / (on_device_us * 1e-6)
+            log(f"alignment-step roofline: ~{flops_insert/1e3:.1f} kFLOP/insert at "
+                f"{on_device_us:.0f} us -> {achieved/1e9:.2f} GFLOP/s = "
+                f"{achieved/PEAK_BF16*100:.5f}% MFU (latency-bound: ~{PEAK_BF16*on_device_us*1e-6/flops_insert:.0f}x "
+                f"idle-MXU headroom for batching)")
+
+        # chroma frontend: framing + Hann + DFT-as-matmul + chromafb matmul
+        # + L2 norm over T frames — the MXU-shaped stage
+        from real_time_audio_sync_tpu.features.chroma import chroma_pipeline
+
+        T = ref.shape[1]
+        n_fft, n_bins = 4096, 2049
+        flops_chroma = T * (2 * n_fft * 2 * n_bins + 2 * n_bins * 12 + 5 * n_fft)
+        wav_len = (T - 1) * 2048 + 4096
+        sig = jnp.asarray(np.random.default_rng(1).random(wav_len), jnp.float32)
+
+        @jax.jit
+        def _chroma_probe(x):
+            return chroma_pipeline(x).sum()
+
+        float(_chroma_probe(sig))  # compile
+        tch = min(_t_scalar(_chroma_probe, sig) for _ in range(5))
+        ach = flops_chroma / tch
+        log(f"chroma-frontend roofline: {flops_chroma/1e9:.2f} GFLOP / {tch*1e3:.1f} ms "
+            f"(incl one relay read) -> {ach/1e12:.2f} TFLOP/s = {ach/PEAK_BF16*100:.2f}% MFU")
+        _result["mfu"] = round(ach / PEAK_BF16, 5)
+
+        # per-stage latency budget for one per-frame insert (pipelined mode)
+        col = np.ascontiguousarray(live[:, 0])
+        t0 = time.perf_counter()
+        for _ in range(50):
+            blk = np.zeros((16, 128), np.float32)
+            blk[0, :12] = col
+        t_frame = (time.perf_counter() - t0) / 50
+        eng_b = make_fused(k_block=1) if backend == "fused-pallas" else OnlineTimeWarping(ref, PARAMS)
+        eng_b.insert_nowait(live[:, 0])
+        t0 = time.perf_counter()
+        for i in range(1, 33):
+            eng_b.insert_nowait(live[:, i % n_frames])
+        t_issue = (time.perf_counter() - t0) / 32
+        eng_b.flush()
+        import jax as _jax
+
+        t0 = time.perf_counter()
+        eng_b.insert_nowait(live[:, 33])
+        _jax.block_until_ready(eng_b._outstanding[-1][1])
+        t_drain = time.perf_counter() - t0
+        st = eng_b._outstanding[-1][1]
+        t0 = time.perf_counter()
+        np.asarray(st)
+        t_read = time.perf_counter() - t0
+        log("latency budget, one per-frame insert (pipelined): "
+            f"host framing {t_frame*1e6:.0f} us | H2D payload {16*128*4 + 16} B | "
+            f"dispatch issue {t_issue*1e6:.0f} us | launch+drain {t_drain*1e3:.2f} ms "
+            f"(on-device step {max(on_device_us, 0):.0f} us; rest is relay/launch overhead) | "
+            f"status read {t_read*1e3:.1f} ms, rate-limited to 1 read per 93 ms hop")
+    except Exception as e:
+        log(f"MFU/budget diagnostic skipped ({e})")
+
+    # --- 5c. jax.profiler device trace artifact (SURVEY.md §5.1)
+    try:
+        import jax.profiler as _prof
+
+        trace_dir = "/tmp/rtas_trace_r03"
+        _prof.start_trace(trace_dir)
+        eng_t = make_fused(k_block=HOP_FRAMES) if backend == "fused-pallas" else OnlineTimeWarping(ref, PARAMS)
+        for s in range(0, 64, HOP_FRAMES):
+            eng_t.insert_block_nowait(live[:, s : s + HOP_FRAMES])
+        eng_t.flush()
+        _prof.stop_trace()
+        import glob as _glob
+
+        n_ev = len(_glob.glob(trace_dir + "/**/*", recursive=True))
+        log(f"jax.profiler trace captured to {trace_dir} ({n_ev} files)")
+    except Exception as e:
+        log(f"profiler trace skipped ({e})")
 
     # --- 6. on-device set_live scan (whole alignment in one dispatch)
     def run_scan():

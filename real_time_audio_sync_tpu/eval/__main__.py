@@ -32,7 +32,7 @@ def main(argv=None) -> int:
     ap.add_argument("--ref-csv", help="ground-truth CSV for --score-log (reference side)")
     ap.add_argument("--live-csv", help="ground-truth CSV for --score-log (live side)")
     ap.add_argument("--dtype", default="float32", choices=["float32", "float64"])
-    ap.add_argument("--mode", default="insert", choices=["insert", "fused"],
+    ap.add_argument("--mode", default="insert", choices=["insert", "fused", "oracle"],
                     help="insert: stream frame-by-frame (reference harness regime); "
                          "fused: whole alignment through the fused device backends "
                          "(Pallas set_live for the online engines; for wtw a corpus "

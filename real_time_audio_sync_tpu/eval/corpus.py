@@ -69,7 +69,12 @@ def align_pair(
     Pallas set_live kernel in one launch (~30 µs/frame on a v5e — the fast
     path for large corpus sweeps; set_live's direction-first loop can commit
     slightly different best points than streaming insert, exactly as in the
-    reference where test_simple.py scores both regimes)."""
+    reference where test_simple.py scores both regimes).
+
+    For ``engine="wtw"`` both "insert" and "fused" run the device-resident
+    :class:`AsyncWTW` stepper (bit-equal paths to the host engine, ~5x the
+    corpus sweep throughput); ``mode="oracle"`` opts into the host-side
+    reference-shaped WTW loop (models/wtw.py) — the parity oracle."""
     from real_time_audio_sync_tpu.features.chroma import wav_to_chroma, wav_to_chroma_diff
     from real_time_audio_sync_tpu.models import (
         DTW,
@@ -82,8 +87,11 @@ def align_pair(
 
     if engine not in ENGINES:
         raise ValueError(f"unknown engine {engine!r}; choose from {ENGINES}")
-    if mode not in ("insert", "fused"):
-        raise ValueError(f"unknown mode {mode!r}; choose 'insert' or 'fused'")
+    if mode not in ("insert", "fused", "oracle"):
+        raise ValueError(f"unknown mode {mode!r}; choose 'insert', 'fused' or 'oracle'")
+    if mode == "oracle" and engine != "wtw":
+        raise ValueError("mode='oracle' selects the host-side WTW parity loop; "
+                         f"{engine!r} has no separate oracle mode (use 'insert')")
     if mode == "fused":
         from real_time_audio_sync_tpu.models.online_core import ENGINE_OVERRIDES
 
@@ -94,20 +102,24 @@ def align_pair(
                              "(the insert mode supports float64)")
 
     if engine == "wtw":
-        if mode == "fused":
+        if mode == "oracle":
+            # host-side reference-shaped loop (models/wtw.py) — the parity
+            # oracle; ~5x slower than the device-resident stepper for no
+            # accuracy benefit (paths are bit-equal, tested)
+            wtw = WTW(ref_wav, params or DEFAULT_WTW_PARAMS, dtype=dtype)
+        else:
             # device-resident stepper: pointers, window DP and commits all
             # on-device, async dispatch per 8-column block (models/wtw_async)
             from real_time_audio_sync_tpu.models import AsyncWTW
 
-            wtw = AsyncWTW(ref_wav, params or DEFAULT_WTW_PARAMS, k_block=8)
-        else:
-            wtw = WTW(ref_wav, params or DEFAULT_WTW_PARAMS, dtype=dtype)
+            wtw = AsyncWTW(ref_wav, params or DEFAULT_WTW_PARAMS, k_block=8,
+                           dtype=dtype)
         live, fs = load_wav(live_wav)
         assert fs == 22050
         for buf in np.array_split(live, 4096):  # tests.py:186
             if wtw.insert(buf) == "stop":
                 break
-        if mode == "fused":
+        if mode != "oracle":
             wtw.flush()
         path = wtw.path
     else:

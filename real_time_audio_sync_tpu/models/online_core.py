@@ -29,7 +29,7 @@ from __future__ import annotations
 import dataclasses
 import time
 from functools import partial
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -65,71 +65,132 @@ class StatusPolling:
     ``[stopped | overflow<<1, path_len, last_x, last_y]`` — shared by the
     XLA and fused streaming engines.
 
-    Non-blocking reads are rate-limited (each is a ~27 ms relay round-trip
-    on tunneled TPUs; an eager poll per hop would serialize the pipeline),
-    so stop detection lags by at most ``poll_min_interval`` seconds.
+    Measured platform facts (round 3, tunneled v5e) that shape this design:
 
-    Measured platform caveat: ``is_ready`` flags of a computation's outputs
-    resolve asynchronously (on the CPU backend a status vector can report
-    not-ready after ``block_until_ready`` on its sibling state output), so a
-    probe may miss a genuinely-completed status — harmless by design, a
-    later probe or a blocking ``flush``/property read picks it up."""
+    - ``is_ready()`` is a LOCAL flag check (~1 µs) — probing completion of
+      any number of in-flight statuses is free;
+    - actually *reading* a status vector — even a completed one — is a
+      relay round-trip (~5 ms pipelined, ~27 ms solo), so reads (harvests)
+      are rate-limited by ``poll_min_interval``.
+
+    The dispatcher appends every status to an in-flight deque via
+    :meth:`_swap_status`; free front-probes retire completed entries
+    (execution is in-order, so a ready entry implies everything before it is
+    done), keeping only the NEWEST completed-but-unread status — the vector
+    is cumulative, older ones are subsumed.  A rate-limited harvest then
+    reads that newest completed vector, so under sustained dispatch
+    ``last_point``/"stop" lag by at most ``poll_min_interval`` seconds plus
+    the device backlog, and at real-time pacing (device idle between hops,
+    default interval = one hop) by at most ONE hop.
+
+    Staleness accounting: each dispatch records the cumulative frame count;
+    each harvest records how many frames were dispatched beyond the
+    harvested status (``staleness_log``, in frames) — the exact score-
+    position lag a UI built on ``last_point`` inherits.
+
+    Measured platform caveat: ``is_ready`` flags resolve asynchronously (a
+    status can briefly report not-ready after its sibling state output is
+    known complete), so a probe may undercount completions — harmless by
+    design, a later probe or a blocking ``flush`` picks it up."""
+
+    #: default harvest interval: one feature hop (chroma.py:20-22) — bounds
+    #: position staleness to ≤1 hop at real-time pacing while costing at
+    #: most one ~5-27 ms relay read per 92.9 ms hop
+    POLL_INTERVAL_HOP = 2048 / 22050.0
 
     def _init_status_polling(self) -> None:
-        self._status = None  # newest un-read status vector (device array)
+        self._outstanding = []  # [(frames_dispatched_after, status), ...]
+        self._latest_done = None  # newest completed-but-unread entry
+        self._frames_dispatched = 0
         self._stopped_cached = False
         self._last_point = None  # (path_len, x, y) from the last status read
-        self.poll_min_interval = 0.25
+        self._last_point_frames = 0  # frames covered by that read
+        self.poll_min_interval = self.POLL_INTERVAL_HOP
         self._last_poll_time = 0.0
+        self.staleness_log = []  # frames-behind at each harvest (diagnostics)
+
+    # -- free local probes ---------------------------------------------------
+
+    def _probe(self) -> None:
+        """Retire completed in-flight statuses (front-scan, local flag
+        checks only).  Keeps the newest completed one for a later harvest."""
+        q = self._outstanding
+        while q and q[0][1].is_ready():
+            self._latest_done = q.pop(0)
+
+    def in_flight(self) -> int:
+        """Number of dispatched-but-unfinished inserts (free local probes;
+        conservative — flag resolution can briefly lag true completion)."""
+        self._probe()
+        return len(self._outstanding)
+
+    # -- dispatch-side hook --------------------------------------------------
+
+    def _swap_status(self, new, n_frames: int = 1) -> None:
+        """Record a dispatch's status vector (``n_frames`` frames covered),
+        retire completed predecessors, and harvest the newest completed
+        vector if the rate limit allows."""
+        self._frames_dispatched += n_frames
+        if self._stopped_cached:
+            return
+        self._outstanding.append((self._frames_dispatched, new))
+        self._probe()
+        if self._latest_done is not None:
+            now = time.monotonic()
+            if now - self._last_poll_time >= self.poll_min_interval:
+                self._last_poll_time = now
+                self._harvest()
+
+    # -- reads (relay round-trips, rate-limited) -----------------------------
+
+    def _harvest(self):
+        frames, status = self._latest_done
+        self._latest_done = None
+        return self._consume_status(np.asarray(status), frames)
 
     def poll(self, block: bool = False):
-        """Check the newest status vector; returns ``"stop"`` or None."""
+        """Check the newest completed status; returns ``"stop"`` or None.
+
+        ``block=True`` waits for ALL in-flight inserts (one blocking read of
+        the newest status)."""
         if self._stopped_cached:
             return "stop"
-        if self._status is None:
+        if block:
+            if self._outstanding:
+                frames, status = self._outstanding[-1]
+                self._outstanding = []
+                self._latest_done = None
+                return self._consume_status(np.asarray(status), frames)
+            if self._latest_done is not None:
+                return self._harvest()
             return None
-        if not block:
-            now = time.monotonic()
-            if now - self._last_poll_time < self.poll_min_interval:
-                return None
-            self._last_poll_time = now  # throttle the probe, not the harvest
-            if not self._status.is_ready():
-                return None
-        return self._consume_status(np.asarray(self._status))
+        self._probe()
+        if self._latest_done is None:
+            return None
+        now = time.monotonic()
+        if now - self._last_poll_time < self.poll_min_interval:
+            return None
+        self._last_poll_time = now
+        return self._harvest()
 
     def flush(self):
         """Wait for all in-flight inserts; returns ``"stop"`` or None."""
         return self.poll(block=True)
 
-    def _swap_status(self, new) -> None:
-        """Install the newest status vector, first harvesting the previous
-        one if it has finished computing (reading a ready array is a local
-        copy — no device sync).  Under continuous dispatch the *newest*
-        vector is almost never ready when the host looks at it, so polling
-        it alone would leave ``last_point``/"stop" permanently stale; the
-        previous vector, by contrast, has had a full dispatch interval to
-        complete.  Rate-limited like :meth:`poll` (``is_ready`` may cost a
-        relay round trip on tunneled platforms)."""
-        old = self._status
-        if old is not None and not self._stopped_cached:
-            now = time.monotonic()
-            if now - self._last_poll_time >= self.poll_min_interval:
-                # advance the clock on the PROBE, not the harvest — otherwise
-                # a backlogged device (old never ready) would pay an
-                # is_ready() probe on every subsequent dispatch
-                self._last_poll_time = now
-                if old.is_ready():
-                    self._consume_status(np.asarray(old))
-        self._status = new
-
-    def _consume_status(self, vec):
-        self._status = None
+    def _consume_status(self, vec, frames: Optional[int] = None):
+        if frames is None:  # synchronous read: covers everything dispatched
+            frames = self._frames_dispatched
+        self.staleness_log.append(self._frames_dispatched - frames)
+        self._last_point_frames = frames
         flags = int(vec[0])
         self._last_point = (int(vec[1]), int(vec[2]), int(vec[3]))
         if flags & 2:  # pragma: no cover - design invariant
             raise AssertionError("column-phase loop bound violated")
         if flags & 1:
             self._stopped_cached = True
+            # post-stop state is frozen; drop older in-flight vectors
+            self._outstanding = []
+            self._latest_done = None
             return "stop"
         return None
 
@@ -138,6 +199,12 @@ class StatusPolling:
         """(path_len, live, ref) from the most recent status read — the
         current score position (== path[-1]) without fetching the path."""
         return self._last_point
+
+    @property
+    def last_point_age_frames(self) -> int:
+        """How many frames have been dispatched beyond the state
+        ``last_point`` reflects — the current score-position staleness."""
+        return self._frames_dispatched - self._last_point_frames
 
 
 @dataclasses.dataclass(frozen=True)
@@ -553,14 +620,15 @@ class BandedOnlineEngine(StatusPolling):
         # device_put on tunneled-TPU setups.
         col = np.ascontiguousarray(live_col, self.dtype)
         self.state, status = insert_step(self.state, col, self.ref, self.cfg)
-        return self._read_status(status)
+        return self._read_status(status, 1)
 
     def insert_block(self, cols):
         """Insert K feature columns (F, K) in one device dispatch —
         semantically identical to K ``insert`` calls; returns ``"stop"`` if
         the reference sequence was exhausted anywhere in the block."""
+        k = np.asarray(cols).shape[1]
         self.state, status = self._dispatch_block(cols)
-        return self._read_status(status)
+        return self._read_status(status, k)
 
     # -- pipelined streaming (dispatch without synchronizing) ----------------
 
@@ -582,15 +650,16 @@ class BandedOnlineEngine(StatusPolling):
             return "stop"
         col = np.ascontiguousarray(live_col, self.dtype)
         self.state, status = insert_step(self.state, col, self.ref, self.cfg)
-        self._swap_status(status)
+        self._swap_status(status, 1)
         return None
 
     def insert_block_nowait(self, cols):
         """Dispatch a (F, K) block without waiting; see :meth:`insert_nowait`."""
         if self._stopped_cached or self.poll() == "stop":
             return "stop"
+        k = np.asarray(cols).shape[1]
         self.state, status = self._dispatch_block(cols)
-        self._swap_status(status)
+        self._swap_status(status, k)
         return None
 
     def _dispatch_block(self, cols):
@@ -599,7 +668,8 @@ class BandedOnlineEngine(StatusPolling):
             raise ValueError("insert_block expects a (F, K) column block")
         return insert_block(self.state, cols, self.ref, self.cfg)
 
-    def _read_status(self, status):
+    def _read_status(self, status, n_frames: int):
+        self._frames_dispatched += n_frames
         return self._consume_status(np.asarray(status))
 
     def set_live(self, live):
@@ -613,10 +683,11 @@ class BandedOnlineEngine(StatusPolling):
         self.state = set_live_scan(
             self.state, live, self.ref, self.cfg, reset=self.reset_on_set_live
         )
-        if self.reset_on_set_live:
-            self._stopped_cached = False
-        self._status = None
-        self._last_point = None
+        stopped = self._stopped_cached and not self.reset_on_set_live
+        interval = self.poll_min_interval
+        self._init_status_polling()
+        self.poll_min_interval = interval
+        self._stopped_cached = stopped
         self._batch_mode = True
         return self.path
 

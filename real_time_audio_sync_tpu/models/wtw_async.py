@@ -77,7 +77,8 @@ _W_FLAGS = 4  # bit0 = stopped, bit1 = path-buffer overflow
 
 
 def _make_block_body(f: int, w: int, hop_frames: int, k_pad: int,
-                     backend: str, fft: int, hop: int, hoisted: bool = True):
+                     backend: str, fft: int, hop: int, hoisted: bool = True,
+                     transfer_int16: bool = False):
     """Build the (unjitted) block-step body: (live_dev, ref_dev, px, py, sc,
     samples, n_valid, m, n_cap, win, dft_cos, dft_sin, fb_t) →
     (live_dev, px, py, sc, status).  All shapes static; ``m`` (true reference
@@ -265,6 +266,12 @@ def _make_block_body(f: int, w: int, hop_frames: int, k_pad: int,
         # framing + feature extraction fused into the step program: ONE
         # dispatch per hop block, raw span in (each dispatch pays a relay
         # round-trip share on tunneled TPUs; each byte a bandwidth share)
+        if transfer_int16:
+            # int16 span shipped; decode to the engine dtype in-program.
+            # 1/32768 is a power of two, so for samples that are exact
+            # int16/32768 multiples (mono PCM16 sources) the round trip is
+            # bit-exact; otherwise quantization is <= 2^-16 amplitude.
+            samples = samples.astype(win.dtype) / np.float32(32768.0).astype(win.dtype)
         frames = frame_span(samples, k_pad, fft, hop)
         cols = _chroma_frames_impl(frames, win, dft_cos, dft_sin, fb_t, True)
         if hoisted:
@@ -289,14 +296,17 @@ def _make_block_body(f: int, w: int, hop_frames: int, k_pad: int,
 
 
 def _make_async_wtw_step(f: int, w: int, hop_frames: int, k_pad: int,
-                         backend: str, fft: int, hop: int, hoisted: bool = True):
+                         backend: str, fft: int, hop: int, hoisted: bool = True,
+                         transfer_int16: bool = False):
     """Jitted solo block step over :func:`_make_block_body` (state donated)."""
-    body = _make_block_body(f, w, hop_frames, k_pad, backend, fft, hop, hoisted)
+    body = _make_block_body(f, w, hop_frames, k_pad, backend, fft, hop, hoisted,
+                            transfer_int16)
     return partial(jax.jit, donate_argnums=(0, 2, 3, 4))(body)
 
 
 def _make_multi_wtw_step(f: int, w: int, hop_frames: int, k_pad: int,
-                         backend: str, fft: int, hop: int, hoisted: bool = True):
+                         backend: str, fft: int, hop: int, hoisted: bool = True,
+                         transfer_int16: bool = False):
     """Jitted B-stream block step: the body vmapped over the stream axis of
     every per-stream argument (frontend constants are shared).  One device
     dispatch advances all B streams; per-frame DP state stays stream-local,
@@ -305,7 +315,8 @@ def _make_multi_wtw_step(f: int, w: int, hop_frames: int, k_pad: int,
     per-column cond becomes a both-branches select for the whole batch, so
     hoisting cuts the window-DP executions per block from k_pad to
     1+⌈(k_pad−1)/hop_frames⌉."""
-    body = _make_block_body(f, w, hop_frames, k_pad, backend, fft, hop, hoisted)
+    body = _make_block_body(f, w, hop_frames, k_pad, backend, fft, hop, hoisted,
+                            transfer_int16)
     vbody = jax.vmap(body, in_axes=(0,) * 9 + (None,) * 4)
     return partial(jax.jit, donate_argnums=(0, 2, 3, 4))(vbody)
 
@@ -321,10 +332,20 @@ class AsyncWTW(StatusPolling):
 
     def __init__(self, ref_recording, params, debug_params=None, k_block: int = 8,
                  window_backend: str = "auto", dtype=np.float32,
-                 block_impl: str = "hoisted"):
+                 block_impl: str = "hoisted", transfer_dtype: str = "float32"):
         self.params = WTWParams.from_any(params)
         self.debug_params = debug_params or {}
         self.k_block = int(k_block)
+        # transfer_dtype="int16": ship sample spans as int16 (half the H2D
+        # bytes — the multi-stream serving ceiling, docs/STATUS.md) and
+        # decode to the engine dtype in-program.  Bit-exact for audio whose
+        # samples are int16/32768 multiples (mono PCM16 sources); otherwise
+        # (e.g. the corpus' stereo-averaged wavs) quantizes at 2^-16
+        # amplitude — inaudible, but can flip knife-edge DP ties, so it is
+        # opt-in.
+        if transfer_dtype not in ("float32", "int16"):
+            raise ValueError(f"unknown transfer_dtype {transfer_dtype!r}")
+        self.transfer_dtype = transfer_dtype
         # f32 is the production dtype; f64 is for CPU parity tests where the
         # comparison must be immune to batch-shape-dependent f32 accumulation
         # (docs/PARITY.md deviation 8 — different k_block ⇒ different matmul
@@ -350,8 +371,12 @@ class AsyncWTW(StatusPolling):
                     "window_backend='pallas' unsupported on this platform/dtype"
                 )
 
-        self.ref, self.fs = load_wav(ref_recording)
-        assert self.fs == 22050
+        if isinstance(ref_recording, (str, bytes)):
+            self.ref, self.fs = load_wav(ref_recording)
+            assert self.fs == 22050
+        else:  # raw 22.05 kHz sample array (parity with MultiStreamWTW)
+            self.ref = np.asarray(ref_recording)
+            self.fs = 22050
 
         self.fft_len = self.params.fft_len
         self.hop_size = self.params.hop_size
@@ -395,6 +420,7 @@ class AsyncWTW(StatusPolling):
             f, self._w, self._hop_frames, self.k_block,
             window_backend, self.fft_len, self.hop_size,
             hoisted=block_impl == "hoisted",
+            transfer_int16=self.transfer_dtype == "int16",
         )
         self._frontend_consts = frontend_constants(self.fft_len, self.fs, self.dtype)
 
@@ -411,13 +437,15 @@ class AsyncWTW(StatusPolling):
         (framing and feature extraction happen inside the step program)."""
         span = build_span(self.buf, k, self.k_block, self.hop_size,
                           self.fft_len, self.dtype)
+        if self.transfer_dtype == "int16":
+            span = np.clip(np.round(span * 32768.0), -32768, 32767).astype(np.int16)
         px, py, sc = self._state
         self._live_dev, px, py, sc, status = self._step(
             self._live_dev, self._ref_dev, px, py, sc, span, np.int32(k),
             np.int32(self.M), np.int32(self.N), *self._frontend_consts,
         )
         self._state = (px, py, sc)
-        self._swap_status(status)
+        self._swap_status(status, k)  # staleness accounted in chroma columns
 
     def insert(self, live_audio_buf):
         """Insert raw audio samples; non-blocking.  Returns ``"stop"`` once a
@@ -441,14 +469,19 @@ class AsyncWTW(StatusPolling):
             self._dispatch(k)
         return self.poll(block=True)
 
-    def _consume_status(self, vec):
-        self._status = None
+    def _consume_status(self, vec, frames=None):
+        if frames is None:
+            frames = self._frames_dispatched
+        self.staleness_log.append(self._frames_dispatched - frames)
+        self._last_point_frames = frames
         flags = int(vec[0])
         self._last_point = (int(vec[1]), int(vec[2]), int(vec[3]))
         if flags & 2:  # pragma: no cover - capacity is an exact upper bound
             raise AssertionError("AsyncWTW path buffer overflow")
         if flags & 1:
             self._stopped_cached = True
+            self._outstanding = []
+            self._latest_done = None
             return "stop"
         return None
 

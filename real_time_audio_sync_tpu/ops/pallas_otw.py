@@ -113,8 +113,13 @@ def _first_min(vals, valid, iota):
 
 
 def _build_ops(cfg: OnlineConfig, c: int, w_sub: int, w_lane: int,
-               w_ref, ref_ref, live_ref, eye_ref, path_x_ref, path_y_ref):
-    """Shared band primitives over the window/feature/path refs."""
+               w_ref, ref_ref, live_ref, eye_ref, path_store):
+    """Shared band primitives over the window/feature refs.
+
+    ``path_store(plen, x, y)`` commits one path point — a callback so the
+    same body serves 1-D SMEM path buffers (solo drivers) and row-shaped
+    (1, P) buffers (the batched driver, whose squeezed-batch SMEM blocks
+    must keep their last two dims equal to the array's)."""
     sentinel = np.float32(cfg.sentinel)
     inf = np.float32(np.inf)
     two = np.float32(2.0)
@@ -163,8 +168,7 @@ def _build_ops(cfg: OnlineConfig, c: int, w_sub: int, w_lane: int,
 
         @pl.when(ok)
         def _():
-            path_x_ref[plen] = x.astype(jnp.int32)
-            path_y_ref[plen] = y.astype(jnp.int32)
+            path_store(plen, x.astype(jnp.int32), y.astype(jnp.int32))
 
         plen = plen + ok.astype(jnp.int32)
         lastx = jnp.where(ok, x, lastx)
@@ -271,13 +275,13 @@ def _build_ops(cfg: OnlineConfig, c: int, w_sub: int, w_lane: int,
 # ---------------------------------------------------------------------------
 
 
-def _make_set_live_kernel(cfg: OnlineConfig, c: int, w_sub: int, w_lane: int, n_steps: int, debug_window: bool = False):
+def _make_set_live_kernel(cfg: OnlineConfig, c: int, w_sub: int, w_lane: int, n_steps: int, debug_window: bool = False, batched: bool = False):
     def kernel(
-        lens_ref,  # SMEM (2,): [live_len, ref_len]
+        lens_ref,  # SMEM (2,): [live_len, ref_len]  ((1, 2) when batched)
         ref_ref,  # VMEM (c + n_pad + w_lane, 128): ref^T, row j+c ↔ ref col j
         live_ref,  # VMEM (c + t_pad + w_sub, 128): live^T, row t+c ↔ live col t
         eye_ref,  # VMEM (w_lane, w_lane) identity (see _build_ops._to_lanes)
-        path_x_ref,  # SMEM (p_pad,) int32
+        path_x_ref,  # SMEM (p_pad,) int32  ((1, p_pad) when batched)
         path_y_ref,  # SMEM (p_pad,) int32
         out_scalars_ref,  # SMEM (8,) int32: plen, t, j, stopped
         *rest,  # [w_out_ref (debug)], w_ref scratch
@@ -287,12 +291,28 @@ def _make_set_live_kernel(cfg: OnlineConfig, c: int, w_sub: int, w_lane: int, n_
         else:
             (w_ref,) = rest
             w_out_ref = None
-        live_len = lens_ref[0]
-        ref_len = lens_ref[1]
+        if batched:  # row-shaped SMEM blocks (see _make_insert_kernel)
+            ld = lambda r, i: r[0, i]
+
+            def st(r, i, v):
+                r[0, i] = v
+        else:
+            ld = lambda r, i: r[i]
+
+            def st(r, i, v):
+                r[i] = v
+
+        live_len = ld(lens_ref, 0)
+        ref_len = ld(lens_ref, 1)
         live_cap = 2 * ref_len  # pre-allocated live capacity (otw_eran.py:14)
 
         w_ref[:] = jnp.full_like(w_ref, np.float32(cfg.sentinel))
-        ops = _build_ops(cfg, c, w_sub, w_lane, w_ref, ref_ref, live_ref, eye_ref, path_x_ref, path_y_ref)
+
+        def path_store(plen, x, y):
+            st(path_x_ref, plen, x)
+            st(path_y_ref, plen, y)
+
+        ops = _build_ops(cfg, c, w_sub, w_lane, w_ref, ref_ref, live_ref, eye_ref, path_store)
         ops["eval_origin"]()
 
         def step(_, carry):
@@ -342,10 +362,10 @@ def _make_set_live_kernel(cfg: OnlineConfig, c: int, w_sub: int, w_lane: int, n_
             jnp.bool_(False),
         )
         t, j, rc, prev, plen, lastx, lasty, done = lax.fori_loop(0, n_steps, step, init)
-        out_scalars_ref[0] = plen
-        out_scalars_ref[1] = t
-        out_scalars_ref[2] = j
-        out_scalars_ref[3] = (j >= ref_len).astype(jnp.int32)
+        st(out_scalars_ref, 0, plen)
+        st(out_scalars_ref, 1, t)
+        st(out_scalars_ref, 2, j)
+        st(out_scalars_ref, 3, (j >= ref_len).astype(jnp.int32))
         if w_out_ref is not None:
             w_out_ref[:] = w_ref[:]
 
@@ -434,6 +454,117 @@ def pallas_set_live(ref, live, params, *, monotone_path=False, euclidean=False, 
     return path, int(scalars[1]), int(scalars[2]), bool(int(scalars[3]))
 
 
+@partial(jax.jit, static_argnames=("cfg", "n_steps", "shared_ref", "interpret"))
+def _pallas_batched_set_live(ref_t_pad, live_t_pad, lens, cfg: OnlineConfig, n_steps: int, shared_ref: bool = False, interpret: bool = False):
+    """Whole-sequence alignment for B pairs in ONE launch: a 1-D grid over
+    pairs, each grid step running the exact solo set_live kernel (per-pair
+    early exit via its `done` flag; see _pallas_multi_insert_block for the
+    squeezed-batch BlockSpec pattern and row-shaped SMEM layout).
+
+    Replaces the O(B·N²)-memory vmapped XLA path for corpus sweeps: state
+    here is one (c+1)² window scratch per grid step."""
+    b = live_t_pad.shape[0]
+    c = cfg.c
+    w_lane = _round_up(c + 1, _LANES)
+    w_sub = _round_up(c + 1, _SUBLANES)
+    p_pad = _round_up(n_steps + 8, _LANES)
+    kernel = _make_set_live_kernel(cfg, c, w_sub, w_lane, n_steps, batched=True)
+    vmem, smem = pltpu.VMEM, pltpu.SMEM
+
+    def _batched(arr_shape, mem):
+        shape = arr_shape[1:]
+        zeros = (0,) * len(shape)
+        return pl.BlockSpec((None, *shape), lambda i: (i, *zeros), memory_space=mem)
+
+    ref_spec = pl.BlockSpec(
+        (None, *ref_t_pad.shape[1:]),
+        (lambda i: (0, 0, 0)) if shared_ref else (lambda i: (i, 0, 0)),
+        memory_space=vmem,
+    )
+    eye = jnp.eye(w_lane, dtype=jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            _batched(lens.shape, smem),
+            ref_spec,
+            _batched(live_t_pad.shape, vmem),
+            pl.BlockSpec(eye.shape, lambda i: (0, 0), memory_space=vmem),
+        ],
+        out_specs=(
+            _batched((b, 1, p_pad), smem),
+            _batched((b, 1, p_pad), smem),
+            _batched((b, 1, 8), smem),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, 1, p_pad), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1, p_pad), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1, 8), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.VMEM((w_sub, w_lane), jnp.float32)],
+        interpret=interpret,
+    )(lens, ref_t_pad, live_t_pad, eye)
+
+
+def pallas_batched_set_live(refs, lives, params, *, monotone_path=False, euclidean=False, sentinel=1e10, run_count_init=1, interpret=False):
+    """Batch-align B pairs with the fused kernel, one launch total.
+
+    ``refs``/``lives``: sequences of (F, Nᵢ)/(F, Tᵢ) float arrays (ragged;
+    zero-padded here — true lengths drive each pair's stop conditions).
+    Returns a list of per-pair ``(path (L, 2) int32, live_ptr, ref_ptr,
+    stopped)`` tuples exactly matching per-pair :func:`pallas_set_live`.
+    """
+    from real_time_audio_sync_tpu.config import OTWParams
+
+    p = OTWParams.from_any(params)
+    cfg = OnlineConfig(
+        c=p.c, max_run_count=p.max_run_count, sentinel=sentinel,
+        run_count_init=run_count_init, monotone_path=monotone_path,
+        euclidean=euclidean,
+    )
+    refs = [np.asarray(r, np.float32) for r in refs]
+    lives = [np.asarray(l, np.float32) for l in lives]
+    b = len(refs)
+    if len(lives) != b:
+        raise ValueError(f"{b} refs vs {len(lives)} lives")
+    f = refs[0].shape[0]
+    c = cfg.c
+    n_max = max(r.shape[1] for r in refs)
+    t_max = max(l.shape[1] for l in lives)
+    if min(r.shape[1] for r in refs) < c:
+        raise ValueError("reference shorter than the search band")
+    if f > _LANES:
+        raise ValueError(f"feature dim {f} exceeds the {_LANES}-lane layout")
+
+    w_lane = _round_up(c + 1, _LANES)
+    w_sub = _round_up(c + 1, _SUBLANES)
+    shared = b > 1 and all(r.shape == refs[0].shape and np.array_equal(r, refs[0]) for r in refs[1:])
+    n_ref_rows = 1 if shared else b
+    ref_t = np.zeros((n_ref_rows, _round_up(c + n_max + w_lane + 8, _SUBLANES), _LANES), np.float32)
+    for i in range(n_ref_rows):
+        r = refs[i]
+        ref_t[i, c : c + r.shape[1], :f] = r.T
+    live_t = np.zeros((b, _round_up(c + t_max + w_sub + 8, _SUBLANES), _LANES), np.float32)
+    lens = np.zeros((b, 1, 2), np.int32)
+    for i, l in enumerate(lives):
+        live_t[i, c : c + l.shape[1], :f] = l.T
+        lens[i, 0] = (l.shape[1], refs[i].shape[1])
+
+    n_steps = t_max + n_max
+    px, py, scalars = jax.device_get(
+        _pallas_batched_set_live(
+            jnp.asarray(ref_t), jnp.asarray(live_t), jnp.asarray(lens), cfg,
+            n_steps, shared_ref=shared, interpret=interpret,
+        )
+    )
+    out = []
+    for i in range(b):
+        plen = int(scalars[i, 0, 0])
+        path = np.stack([px[i, 0, :plen], py[i, 0, :plen]], axis=1)
+        out.append((path, int(scalars[i, 0, 1]), int(scalars[i, 0, 2]), bool(int(scalars[i, 0, 3]))))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Driver 2: K streaming inserts per launch (otw_eran.py:38-85), state carried
 # across launches via input_output_aliases
@@ -445,7 +576,7 @@ def pallas_set_live(ref, live, params, *, monotone_path=False, euclidean=False, 
 _N_SCALARS = 16
 
 
-def _make_insert_kernel(cfg: OnlineConfig, c: int, w_sub: int, w_lane: int, k_block: int, interpret: bool):
+def _make_insert_kernel(cfg: OnlineConfig, c: int, w_sub: int, w_lane: int, k_block: int, interpret: bool, batched: bool = False):
     sentinel = np.float32(cfg.sentinel)
 
     def kernel(
@@ -457,6 +588,26 @@ def _make_insert_kernel(cfg: OnlineConfig, c: int, w_sub: int, w_lane: int, k_bl
         w_ref, live_ref, path_x_ref, path_y_ref, sc_ref,  # aliased state (outputs)
         status_ref,  # SMEM (8,) int32: [stopped|overflow<<1, plen, lastx, lasty]
     ):
+        # ``batched=True``: the 1-D grid over streams delivers SMEM operands
+        # as row-shaped (1, X) blocks (Mosaic requires squeezed-batch blocks
+        # to keep the last two dims equal to the array's), so scalar
+        # accesses carry a leading 0 index.  VMEM blocks squeeze cleanly and
+        # are untouched.
+        if batched:
+            ld = lambda r, i: r[0, i]
+
+            def st(r, i, v):
+                r[0, i] = v
+        else:
+            ld = lambda r, i: r[i]
+
+            def st(r, i, v):
+                r[i] = v
+
+        def path_store(plen, x, y):
+            st(path_x_ref, plen, x)
+            st(path_y_ref, plen, y)
+
         # input_output_aliases is NOT reliably honored through jit on every
         # platform (observed: interleaving any unrelated dispatch between
         # launches hands the "aliased" outputs fresh uninitialized buffers),
@@ -472,12 +623,12 @@ def _make_insert_kernel(cfg: OnlineConfig, c: int, w_sub: int, w_lane: int, k_bl
         else:
             del px_in, py_in
         for _s in range(_N_SCALARS):
-            sc_ref[_s] = sc_in[_s]
-        live_cap = lens_ref[0]
-        ref_len = lens_ref[1]
-        n_valid = lens_ref[2]
+            st(sc_ref, _s, ld(sc_in, _s))
+        live_cap = ld(lens_ref, 0)
+        ref_len = ld(lens_ref, 1)
+        n_valid = ld(lens_ref, 2)
 
-        ops = _build_ops(cfg, c, w_sub, w_lane, w_ref, ref_ref, live_ref, eye_ref, path_x_ref, path_y_ref)
+        ops = _build_ops(cfg, c, w_sub, w_lane, w_ref, ref_ref, live_ref, eye_ref, path_store)
 
         def insert(k, carry):
             t, j, rc, prev, plen, lastx, lasty, first, stopped, direction, overflow_in = carry
@@ -544,36 +695,40 @@ def _make_insert_kernel(cfg: OnlineConfig, c: int, w_sub: int, w_lane: int, k_bl
             return t_new, j, rc, prev, plen, lastx, lasty, first, stopped, direction, overflow
 
         carry = (
-            sc_ref[_S_T], sc_ref[_S_J], sc_ref[_S_RC], sc_ref[_S_PREV],
-            sc_ref[_S_PLEN], sc_ref[_S_LASTX], sc_ref[_S_LASTY],
-            sc_ref[_S_FIRST] != 0, sc_ref[_S_STOPPED] != 0, sc_ref[_S_DIR],
-            sc_ref[_S_OVERFLOW] != 0,  # sticky across launches — a violated
+            ld(sc_ref, _S_T), ld(sc_ref, _S_J), ld(sc_ref, _S_RC), ld(sc_ref, _S_PREV),
+            ld(sc_ref, _S_PLEN), ld(sc_ref, _S_LASTX), ld(sc_ref, _S_LASTY),
+            ld(sc_ref, _S_FIRST) != 0, ld(sc_ref, _S_STOPPED) != 0, ld(sc_ref, _S_DIR),
+            ld(sc_ref, _S_OVERFLOW) != 0,  # sticky across launches — a violated
             # loop bound must survive until the (rate-limited) status read
         )
         t, j, rc, prev, plen, lastx, lasty, first, stopped, direction, overflow = lax.fori_loop(
             0, k_block, insert, carry
         )
-        sc_ref[_S_T] = t
-        sc_ref[_S_J] = j
-        sc_ref[_S_RC] = rc
-        sc_ref[_S_PREV] = prev
-        sc_ref[_S_PLEN] = plen
-        sc_ref[_S_LASTX] = lastx
-        sc_ref[_S_LASTY] = lasty
-        sc_ref[_S_FIRST] = first.astype(jnp.int32)
-        sc_ref[_S_STOPPED] = stopped.astype(jnp.int32)
-        sc_ref[_S_DIR] = direction
-        sc_ref[_S_OVERFLOW] = overflow.astype(jnp.int32)
-        status_ref[0] = stopped.astype(jnp.int32) | (overflow.astype(jnp.int32) << 1)
-        status_ref[1] = plen
-        status_ref[2] = lastx
-        status_ref[3] = lasty
+        st(sc_ref, _S_T, t)
+        st(sc_ref, _S_J, j)
+        st(sc_ref, _S_RC, rc)
+        st(sc_ref, _S_PREV, prev)
+        st(sc_ref, _S_PLEN, plen)
+        st(sc_ref, _S_LASTX, lastx)
+        st(sc_ref, _S_LASTY, lasty)
+        st(sc_ref, _S_FIRST, first.astype(jnp.int32))
+        st(sc_ref, _S_STOPPED, stopped.astype(jnp.int32))
+        st(sc_ref, _S_DIR, direction)
+        st(sc_ref, _S_OVERFLOW, overflow.astype(jnp.int32))
+        st(status_ref, 0, stopped.astype(jnp.int32) | (overflow.astype(jnp.int32) << 1))
+        st(status_ref, 1, plen)
+        st(status_ref, 2, lastx)
+        st(status_ref, 3, lasty)
 
     return kernel
 
 
 @partial(jax.jit, static_argnames=("cfg", "k_block", "interpret"), donate_argnames=("w", "live_t", "path_x", "path_y", "scalars"))
 def _pallas_insert_block(lens, ref_t_pad, cols, w, live_t, path_x, path_y, scalars, cfg: OnlineConfig, k_block: int, interpret: bool = False):
+    if cols.shape[-1] < _LANES:
+        # hosts ship narrow (k_pad, f_pad) column blocks — 8x less H2D than
+        # the 128-lane layout the kernel wants; the pad runs on-device
+        cols = jnp.pad(cols, ((0, 0), (0, _LANES - cols.shape[-1])))
     c = cfg.c
     w_lane = _round_up(c + 1, _LANES)
     w_sub = _round_up(c + 1, _SUBLANES)
@@ -597,3 +752,99 @@ def _pallas_insert_block(lens, ref_t_pad, cols, w, live_t, path_x, path_y, scala
         input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3, 8: 4},
         interpret=interpret,
     )(lens, ref_t_pad, cols, jnp.eye(w_lane, dtype=jnp.float32), w, live_t, path_x, path_y, scalars)
+
+
+# ---------------------------------------------------------------------------
+# Driver 3: B concurrent streams, one launch per block (grid over streams)
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "k_block", "shared_ref", "interpret"),
+    donate_argnames=("w", "live_t", "path_x", "path_y", "scalars"),
+)
+def _pallas_multi_insert_block(lens, ref_t_pad, cols, w, live_t, path_x, path_y, scalars, cfg: OnlineConfig, k_block: int, shared_ref: bool = True, interpret: bool = False):
+    """K streaming inserts for each of B independent streams in ONE launch.
+
+    The serving analog of :func:`_pallas_insert_block`: a 1-D Pallas grid
+    iterates the stream batch; every operand carries a leading batch axis
+    whose BlockSpec dimension is ``None`` (squeezed), so each grid step sees
+    exactly the solo kernel's ref shapes and the kernel body is REUSED
+    verbatim — per-stream control flow (direction state machine, stop,
+    capacity freeze) runs divergently per grid step, which vmapping the XLA
+    engine cannot do without masking every branch.  Per-stream state is the
+    O(c²) band-relative window + transposed live features (SURVEY.md §7 hard
+    part 5) instead of the reference's dense (2N, N) acc matrices
+    (otw_eran.py:23-27) — the memory fix that makes B≥256 streams/chip
+    feasible.
+
+    ``shared_ref=True``: all streams follow the same reference recording;
+    ``ref_t_pad`` has batch size 1 and every grid step maps block 0 (the
+    common serving case — one concert, many listeners — and it keeps H2D
+    and HBM costs flat in B).  Otherwise ``ref_t_pad`` is (B, R, 128),
+    zero-padded to a common length; each stream's true length in ``lens``
+    drives its stop margin.
+
+    Aliasing, scalar carries and the defensive state self-copy are exactly
+    the solo driver's (see the CAUTION note at the top of this module).
+    """
+    b = w.shape[0]
+    if cols.shape[-1] < _LANES:
+        # narrow H2D column blocks, padded to the 128-lane layout on-device
+        cols = jnp.pad(cols, ((0, 0), (0, 0), (0, _LANES - cols.shape[-1])))
+    c = cfg.c
+    w_lane = _round_up(c + 1, _LANES)
+    w_sub = _round_up(c + 1, _SUBLANES)
+    # SMEM operands arrive row-shaped — lens (B, 1, 4), paths (B, 1, P),
+    # scalars (B, 1, 16), status (B, 1, 8) — because a squeezed-batch SMEM
+    # block must keep its last two dims equal to the array's (Mosaic block-
+    # mapping rule); the kernel indexes them with a leading 0 (batched=True)
+    kernel = _make_insert_kernel(cfg, c, w_sub, w_lane, k_block, interpret, batched=True)
+
+    def _batched(arr, mem):
+        shape = arr.shape[1:]
+        zeros = (0,) * len(shape)
+        return pl.BlockSpec((None, *shape), lambda i: (i, *zeros), memory_space=mem)
+
+    ref_spec = pl.BlockSpec(
+        (None, *ref_t_pad.shape[1:]),
+        (lambda i: (0, 0, 0)) if shared_ref else (lambda i: (i, 0, 0)),
+        memory_space=pltpu.VMEM,
+    )
+    eye = jnp.eye(w_lane, dtype=jnp.float32)
+    eye_spec = pl.BlockSpec(eye.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    vmem, smem = pltpu.VMEM, pltpu.SMEM
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            _batched(lens, smem),
+            ref_spec,
+            _batched(cols, vmem),
+            eye_spec,
+            _batched(w, vmem),
+            _batched(live_t, vmem),
+            _batched(path_x, smem),
+            _batched(path_y, smem),
+            _batched(scalars, smem),
+        ],
+        out_specs=(
+            _batched(w, vmem),
+            _batched(live_t, vmem),
+            _batched(path_x, smem),
+            _batched(path_y, smem),
+            _batched(scalars, smem),
+            pl.BlockSpec((None, 1, 8), lambda i: (i, 0, 0), memory_space=smem),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(w.shape, jnp.float32),
+            jax.ShapeDtypeStruct(live_t.shape, jnp.float32),
+            jax.ShapeDtypeStruct(path_x.shape, jnp.int32),
+            jax.ShapeDtypeStruct(path_y.shape, jnp.int32),
+            jax.ShapeDtypeStruct(scalars.shape, jnp.int32),
+            jax.ShapeDtypeStruct((b, 1, 8), jnp.int32),
+        ),
+        input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3, 8: 4},
+        interpret=interpret,
+    )(lens, ref_t_pad, cols, eye, w, live_t, path_x, path_y, scalars)

@@ -4,5 +4,8 @@ from real_time_audio_sync_tpu.parallel.corpus import (  # noqa: F401
     pad_pairs,
     sharded_chroma_frames,
 )
-from real_time_audio_sync_tpu.parallel.serving import MultiStreamFollower  # noqa: F401
+from real_time_audio_sync_tpu.parallel.serving import (  # noqa: F401
+    FusedMultiStreamFollower,
+    MultiStreamFollower,
+)
 from real_time_audio_sync_tpu.parallel.wtw_serving import MultiStreamWTW  # noqa: F401

@@ -103,9 +103,20 @@ def batched_set_live(
     run_count_init: int = 1,
     monotone_path: bool = False,
     euclidean: bool = False,
+    backend: str = "banded",
 ) -> Tuple[List[np.ndarray], jnp.ndarray]:
     """Align a batch of pairs with the online engine, optionally sharded over
     a ``data`` mesh.  Returns (list of per-pair paths, mean path length).
+
+    ``backend="banded"`` (default): the fused Pallas set_live kernel, a 1-D
+    grid over pairs with one O(c²) window scratch per pair — memory is flat
+    in sequence length, so hour-long pairs and large B fit one chip
+    (SURVEY.md §7 hard part 5).  Requires float32 (runs in the Pallas
+    interpreter on CPU).  ``backend="dense"``: the round-2 vmapped XLA scan
+    carrying the reference-shaped dense (2N, N) acc per pair — the debug
+    artifact whose ``acc_cost`` heatmaps notebooks use, and the float64
+    parity path; O(B·N²) memory caps it at toy scale.  Committed paths are
+    identical (tested).
     """
     from real_time_audio_sync_tpu.config import OTWParams
 
@@ -118,6 +129,14 @@ def batched_set_live(
         monotone_path=monotone_path,
         euclidean=euclidean,
     )
+    if backend not in ("banded", "dense"):
+        raise ValueError(f"unknown backend {backend!r}; choose 'banded' or 'dense'")
+    if backend == "banded" and np.dtype(dtype) == np.float32:
+        return _banded_batched_set_live(refs, lives, ref_lens, live_lens, cfg, mesh)
+    if backend == "banded":
+        # float64 has no Pallas path; fall through to the dense scan (the
+        # declared parity/debug regime for f64 tests)
+        pass
     b, f, n = refs.shape
     states = _init_batched_state(b, f, n, cfg, dtype)
 
@@ -139,6 +158,79 @@ def batched_set_live(
     len_host = np.asarray(out.path_len)
     for i in range(b):
         paths.append(path_host[i, : len_host[i]])
+    return paths, mean_path_len
+
+
+def _banded_batched_set_live(refs, lives, ref_lens, live_lens, cfg, mesh):
+    """Banded backend of :func:`batched_set_live`: one Pallas launch per
+    shard, grid over pairs.  On a mesh the pair axis is sharded via
+    shard_map (zero collectives in the alignment; the mean-path-length
+    metric is the one cross-chip all-reduce, SURVEY.md §5.8)."""
+    import contextlib
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from real_time_audio_sync_tpu.ops.pallas_otw import (
+        _LANES,
+        _SUBLANES,
+        _pallas_batched_set_live,
+        _round_up,
+    )
+
+    interpret = jax.devices()[0].platform == "cpu"
+    ctx = pltpu.force_tpu_interpret_mode() if interpret else contextlib.nullcontext()
+
+    refs = np.asarray(refs, np.float32)
+    lives = np.asarray(lives, np.float32)
+    b, f, n_max = refs.shape
+    t_max = lives.shape[2]
+    c = cfg.c
+    ref_t = np.zeros((b, _round_up(c + n_max + _round_up(c + 1, _LANES) + 8, _SUBLANES), _LANES), np.float32)
+    live_t = np.zeros((b, _round_up(c + t_max + _round_up(c + 1, _SUBLANES) + 8, _SUBLANES), _LANES), np.float32)
+    lens = np.zeros((b, 1, 2), np.int32)
+    for i in range(b):
+        ref_t[i, c : c + n_max, :f] = refs[i].T
+        live_t[i, c : c + t_max, :f] = lives[i].T
+        lens[i, 0] = (live_lens[i], ref_lens[i])
+    n_steps = t_max + n_max
+
+    with ctx:
+        if mesh is None:
+            px, py, scalars = _pallas_batched_set_live(
+                jnp.asarray(ref_t), jnp.asarray(live_t), jnp.asarray(lens),
+                cfg, n_steps,
+            )
+            mean_path_len = jnp.mean(scalars[:, 0, 0].astype(jnp.float32))
+        else:
+            axes = tuple(mesh.axis_names)
+            n_dev = int(np.prod([mesh.shape[a] for a in axes]))
+            if b % n_dev:
+                raise ValueError(
+                    f"pair count {b} must be divisible by the mesh's {n_dev} devices")
+            batched = P(axes)
+
+            def shard_fn(rt, lt, ln):
+                px, py, sc = _pallas_batched_set_live(rt, lt, ln, cfg, n_steps)
+                return px, py, sc
+
+            inner = jax.jit(jax.shard_map(
+                shard_fn, mesh=mesh, in_specs=(batched,) * 3,
+                out_specs=(batched,) * 3, check_vma=False,
+            ))
+            put = lambda x: jax.device_put(
+                x, NamedSharding(mesh, P(axes, *(None,) * (x.ndim - 1))))
+            px, py, scalars = inner(put(ref_t), put(live_t), put(lens))
+            # the one cross-chip collective: mean committed-path length
+            mean_path_len = jax.jit(
+                lambda s: jnp.mean(s[:, 0, 0].astype(jnp.float32)),
+                out_shardings=NamedSharding(mesh, P()),
+            )(scalars)
+
+    px, py, scalars = jax.device_get((px, py, scalars))
+    paths = []
+    for i in range(b):
+        plen = int(scalars[i, 0, 0])
+        paths.append(np.stack([px[i, 0, :plen], py[i, 0, :plen]], axis=1))
     return paths, mean_path_len
 
 

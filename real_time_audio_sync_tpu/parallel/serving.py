@@ -147,3 +147,284 @@ class MultiStreamFollower:
 
     def pointers(self) -> Tuple[np.ndarray, np.ndarray]:
         return np.asarray(self.states.t), np.asarray(self.states.j)
+
+
+# ---------------------------------------------------------------------------
+# Fused (Pallas) multi-stream serving: O(c²) state per stream
+# ---------------------------------------------------------------------------
+
+
+class FusedMultiStreamFollower:
+    """Follow ``B`` live performances with the fused Pallas insert kernel —
+    ONE launch per hop block for the whole batch, O(c²) banded VMEM state
+    per stream instead of the XLA engine's dense (2N, N) acc matrix
+    (otw_eran.py:23-27; SURVEY.md §7 hard part 5).  This is the serving
+    configuration that scales to hundreds of real-time streams per chip:
+    at B=256, N≈1900 the dense layout needs ~14 GB while the banded layout
+    needs ~0.5 GB (dominated by the per-stream live-feature buffer).
+
+    ``ref``: one shared reference (np.ndarray (F, N)) followed by all
+    ``n_streams`` streams — the common one-concert-many-listeners case, ref
+    storage and H2D stay flat in B — or a sequence of per-stream references
+    (zero-padded to a common length; true lengths drive per-stream stops).
+
+    API: :meth:`feed` takes one chroma column per stream (``active`` masks
+    streams with no new frame) with the same adaptive dispatch coalescing as
+    the solo engine's feed (models/fused_streaming.py): frames dispatch
+    immediately while the pipeline has room (free ``is_ready`` probes) and
+    coalesce into up-to-``k_block`` launches only under saturation — never
+    waiting for audio that has not arrived.  Committed paths are bit-equal
+    to solo ``FusedStreamingEngine`` streams (tested).
+
+    Pass ``mesh=`` to shard the stream axis over chips via ``shard_map``
+    (the Pallas grid runs B/n_chips steps per chip; per-stream DP state is
+    chip-local, zero collectives — SURVEY.md §5.8).
+    """
+
+    def __init__(self, ref, params, n_streams: Optional[int] = None,
+                 cfg_overrides: Optional[dict] = None, k_block: int = 8,
+                 interpret: bool = False, mesh: Optional[Mesh] = None,
+                 max_in_flight: int = 4):
+        import time as _time
+
+        from real_time_audio_sync_tpu.models.online_core import (
+            BOTH,
+            ENGINE_OVERRIDES,
+            PREV_NONE,
+        )
+        from real_time_audio_sync_tpu.ops.pallas_otw import (
+            _LANES,
+            _N_SCALARS,
+            _S_DIR,
+            _S_FIRST,
+            _S_LASTX,
+            _S_LASTY,
+            _S_PLEN,
+            _S_PREV,
+            _S_RC,
+            _round_up,
+            _SUBLANES,
+        )
+
+        self._time = _time
+        p = OTWParams.from_any(params)
+        over = dict(ENGINE_OVERRIDES["otw"])
+        over.update(cfg_overrides or {})
+        self.cfg = OnlineConfig(c=p.c, max_run_count=p.max_run_count, **over)
+        self.k_block = int(k_block)
+        self.interpret = bool(interpret)
+        self.max_in_flight = int(max_in_flight)
+
+        self.shared_ref = isinstance(ref, np.ndarray) and np.asarray(ref).ndim == 2
+        if self.shared_ref:
+            if n_streams is None:
+                raise ValueError("n_streams is required with a shared reference")
+            refs = [np.asarray(ref, np.float32)]
+            self.b = int(n_streams)
+            self.ref_lens = np.full(self.b, refs[0].shape[1], np.int32)
+        else:
+            refs = [np.asarray(r, np.float32) for r in ref]
+            self.b = len(refs)
+            self.ref_lens = np.asarray([r.shape[1] for r in refs], np.int32)
+        if n_streams is not None and n_streams != self.b:
+            if not self.shared_ref:
+                raise ValueError(f"n_streams {n_streams} != {self.b} references")
+        f = refs[0].shape[0]
+        n_max = max(r.shape[1] for r in refs)
+        c = self.cfg.c
+        if min(r.shape[1] for r in refs) < c:
+            raise ValueError("every reference must be at least one band wide")
+        if f > _LANES:
+            raise ValueError(f"feature dim {f} exceeds the {_LANES}-lane layout")
+        self.f, self.n_max = f, n_max
+        self.caps = 2 * self.ref_lens  # per-stream live capacity (otw_eran.py:14)
+
+        w_lane = _round_up(c + 1, _LANES)
+        w_sub = _round_up(c + 1, _SUBLANES)
+        self._k_pad = _round_up(self.k_block, _SUBLANES)
+        self._f_pad = _round_up(f, _SUBLANES)
+
+        r_rows = _round_up(c + n_max + w_lane + 8, _SUBLANES)
+        ref_t = np.zeros((len(refs), r_rows, _LANES), np.float32)
+        for i, r in enumerate(refs):
+            ref_t[i, c : c + r.shape[1], :f] = r.T
+
+        l_rows = _round_up(c + 2 * n_max + w_sub + 8, _SUBLANES)
+        p_pad = _round_up(2 * n_max + n_max + 16, _LANES)
+        # SMEM state is row-shaped (B, 1, X): squeezed-batch SMEM blocks
+        # must keep their last two dims equal to the array's (Mosaic rule)
+        scalars = np.zeros((self.b, 1, _N_SCALARS), np.int32)
+        scalars[:, 0, _S_RC] = self.cfg.run_count_init
+        scalars[:, 0, _S_PREV] = PREV_NONE
+        scalars[:, 0, _S_LASTX] = -1
+        scalars[:, 0, _S_LASTY] = -1
+        scalars[:, 0, _S_FIRST] = 1
+        scalars[:, 0, _S_DIR] = BOTH
+        self._s_plen = _S_PLEN
+
+        self.mesh = mesh
+        if mesh is not None:
+            require_batch_divisible(mesh, self.b)
+            put = batch_axis_sharding_put(mesh)
+            self._rep = lambda x: jax.device_put(
+                x, NamedSharding(mesh, P(*(None,) * np.ndim(x))))
+        else:
+            put = jax.device_put
+            self._rep = jax.device_put
+        self._ref_dev = self._rep(ref_t) if self.shared_ref else put(ref_t)
+        self._state = (
+            put(np.full((self.b, w_sub, w_lane), self.cfg.sentinel, np.float32)),
+            put(np.zeros((self.b, l_rows, _LANES), np.float32)),
+            put(np.zeros((self.b, 1, p_pad), np.int32)),
+            put(np.zeros((self.b, 1, p_pad), np.int32)),
+            put(jnp.asarray(scalars)),
+        )
+        self._step = self._build_step()
+
+        self._pending: List[List[np.ndarray]] = [[] for _ in range(self.b)]
+        self._stopped = np.zeros(self.b, bool)
+        self._last_points = np.zeros((self.b, 3), np.int64)  # plen, x, y
+        self._outstanding: list = []
+        self._latest_done = None
+        self.poll_min_interval = 2048 / 22050.0
+        self._last_poll_time = 0.0
+        self.dispatched_block_sizes: List[int] = []
+
+    def _build_step(self):
+        from real_time_audio_sync_tpu.ops.pallas_otw import _pallas_multi_insert_block
+
+        cfg, kb, shared, interp = self.cfg, self.k_block, self.shared_ref, self.interpret
+        if self.mesh is None:
+            def step(lens, cols, state):
+                return _pallas_multi_insert_block(
+                    lens, self._ref_dev, cols, *state,
+                    cfg=cfg, k_block=kb, shared_ref=shared, interpret=interp)
+            return step
+
+        mesh = self.mesh
+        axes = tuple(mesh.axis_names)
+        batched = P(axes)
+        ref_spec = P(*(None,) * 3) if shared else P(axes)
+
+        def sharded(lens, ref_dev, cols, w, live_t, px, py, sc):
+            return _pallas_multi_insert_block(
+                lens, ref_dev, cols, w, live_t, px, py, sc,
+                cfg=cfg, k_block=kb, shared_ref=shared, interpret=interp)
+
+        inner = jax.shard_map(
+            sharded, mesh=mesh,
+            in_specs=(batched, ref_spec, batched) + (batched,) * 5,
+            out_specs=(batched,) * 6,
+            # pallas_call's out_shapes carry no varying-mesh-axes annotation;
+            # every output is batch-sharded by construction
+            check_vma=False,
+        )
+        inner = jax.jit(inner, donate_argnums=(3, 4, 5, 6, 7))
+
+        def step(lens, cols, state):
+            put = batch_axis_sharding_put(mesh)
+            return inner(put(lens), self._ref_dev, put(cols), *state)
+        return step
+
+    # -- streaming API -------------------------------------------------------
+
+    def feed(self, cols, active: Optional[np.ndarray] = None) -> np.ndarray:
+        """Queue one chroma column per stream (B, F) and dispatch adaptively;
+        returns the per-stream stopped mask as of the last completed harvest
+        (lazy, like the solo engines)."""
+        cols = np.asarray(cols, np.float32)
+        if cols.shape != (self.b, self.f):
+            raise ValueError(f"expected a ({self.b}, {self.f}) column batch")
+        act = np.ones(self.b, bool) if active is None else np.asarray(active, bool)
+        for i in range(self.b):
+            if act[i] and not self._stopped[i]:
+                self._pending[i].append(cols[i])
+        self._drain()
+        return self._stopped.copy()
+
+    def _drain(self) -> None:
+        while True:
+            avail = max(len(q) for q in self._pending) if self.b else 0
+            if avail == 0:
+                return
+            if self._in_flight() >= self.max_in_flight and avail < 4 * self.k_block:
+                return
+            self._dispatch()
+
+    def _dispatch(self) -> None:
+        ks = np.asarray([min(len(q), self.k_block) for q in self._pending], np.int32)
+        # narrow column block (padded to 128 lanes on-device): at B=256 the
+        # 128-lane layout would ship 2 MB/dispatch of mostly zeros — H2D is
+        # the serving ceiling on relay-attached TPUs
+        block = np.zeros((self.b, self._k_pad, self._f_pad), np.float32)
+        lens = np.zeros((self.b, 1, 4), np.int32)
+        lens[:, 0, 0] = self.caps
+        lens[:, 0, 1] = self.ref_lens
+        lens[:, 0, 2] = ks
+        for i, k in enumerate(ks):
+            if k:
+                block[i, :k, : self.f] = np.stack(self._pending[i][:k])
+                del self._pending[i][:k]
+        self.dispatched_block_sizes.append(int(ks.max()))
+        *state, status = self._step(lens, block, self._state)
+        self._state = tuple(state)
+        self._outstanding.append(status)
+        self._probe()
+        if self._latest_done is not None and not self._stopped.all():
+            now = self._time.monotonic()
+            if now - self._last_poll_time >= self.poll_min_interval:
+                self._last_poll_time = now
+                done, self._latest_done = self._latest_done, None
+                self._consume(np.asarray(done))
+
+    def _probe(self) -> None:
+        q = self._outstanding
+        while q and q[0].is_ready():
+            self._latest_done = q.pop(0)
+
+    def _in_flight(self) -> int:
+        self._probe()
+        return len(self._outstanding)
+
+    def _consume(self, vec: np.ndarray) -> None:
+        vec = vec.reshape(self.b, -1)  # (B, 1, 8) row-shaped status
+        self._stopped |= (vec[:, 0] & 1).astype(bool)
+        if (vec[:, 0] & 2).any():  # pragma: no cover - design invariant
+            raise AssertionError("column-phase loop bound violated")
+        self._last_points = vec[:, 1:4].astype(np.int64)
+
+    def flush(self) -> np.ndarray:
+        """Dispatch all queued columns and wait for every in-flight launch;
+        returns the final per-stream stopped mask."""
+        while any(self._pending):
+            self._dispatch()
+        if self._outstanding:
+            vec = np.asarray(self._outstanding[-1])
+            self._outstanding = []
+            self._latest_done = None
+            self._consume(vec)
+        elif self._latest_done is not None:
+            done, self._latest_done = self._latest_done, None
+            self._consume(np.asarray(done))
+        return self._stopped.copy()
+
+    # -- inspection ----------------------------------------------------------
+
+    @property
+    def stopped(self) -> np.ndarray:
+        return self._stopped.copy()
+
+    @property
+    def last_points(self) -> np.ndarray:
+        """(B, 3) [path_len, live, ref] per stream from the newest completed
+        harvest — score positions without fetching paths."""
+        return self._last_points.copy()
+
+    def paths(self) -> List[np.ndarray]:
+        """Per-stream committed paths (synchronizing batched fetch)."""
+        px, py, sc = jax.device_get(self._state[2:5])
+        out = []
+        for i in range(self.b):
+            plen = int(sc[i, 0, self._s_plen])
+            out.append(np.stack([px[i, 0, :plen], py[i, 0, :plen]], axis=1))
+        return out

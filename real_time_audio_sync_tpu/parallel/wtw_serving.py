@@ -67,9 +67,16 @@ class MultiStreamWTW:
     comparable rates (the serving regime) for best throughput."""
 
     def __init__(self, refs: Sequence, params, k_block: int = 8,
-                 dtype=np.float32, mesh: Optional[Mesh] = None):
+                 dtype=np.float32, mesh: Optional[Mesh] = None,
+                 transfer_dtype: str = "float32"):
         self.params = WTWParams.from_any(params)
         self.k_block = int(k_block)
+        # int16 spans halve the H2D bytes that cap multi-stream aggregate
+        # throughput (B x span per block); see AsyncWTW.transfer_dtype for
+        # the exactness contract
+        if transfer_dtype not in ("float32", "int16"):
+            raise ValueError(f"unknown transfer_dtype {transfer_dtype!r}")
+        self.transfer_dtype = transfer_dtype
         self.dtype = np.dtype(dtype)
         if self.dtype == np.float64 and not jax.config.jax_enable_x64:
             raise ValueError("dtype=float64 requires jax_enable_x64")
@@ -131,16 +138,19 @@ class MultiStreamWTW:
         self._step = _make_multi_wtw_step(
             f, self._w, self._hop_frames, self.k_block, "scan",
             self.fft_len, self.hop_size,
+            transfer_int16=self.transfer_dtype == "int16",
         )
         self._frontend_consts = frontend_constants(self.fft_len, 22050, self.dtype)
 
         self.bufs = [SampleFIFO(self.dtype) for _ in range(self.b)]
-        self._status = None  # (B, 4) device array from the newest dispatch
+        self._outstanding: list = []  # in-flight (B, 4) status arrays, oldest first
+        self._latest_done = None  # newest completed-but-unread status
         self._stopped = np.zeros(self.b, bool)
         self._span_len = (self.k_block - 1) * self.hop_size + self.fft_len
-        # is_ready probes may cost a relay round trip; throttle like
-        # models/online_core.StatusPolling
-        self.poll_min_interval = 0.25
+        # is_ready PROBES are free local flag checks; actually READING a
+        # status is a relay round-trip, so harvests are rate-limited (same
+        # design as models/online_core.StatusPolling)
+        self.poll_min_interval = 2048 / 22050.0  # one feature hop
         self._last_poll_time = 0.0
 
     # ------------------------------------------------------------------
@@ -154,6 +164,8 @@ class MultiStreamWTW:
             if k > 0:
                 spans[i] = build_span(self.bufs[i], int(k), self.k_block,
                                       self.hop_size, self.fft_len, self.dtype)
+        if self.transfer_dtype == "int16":
+            return np.clip(np.round(spans * 32768.0), -32768, 32767).astype(np.int16)
         return spans
 
     def _dispatch(self, ks: np.ndarray) -> None:
@@ -165,18 +177,23 @@ class MultiStreamWTW:
             self._m_dev, self._ncap_dev, *self._frontend_consts,
         )
         self._state = (px, py, sc)
-        # harvest the PREVIOUS status if it completed — the newest vector is
-        # almost never ready when the host looks, so probing it alone would
-        # leave the stopped mask permanently stale (same design as
-        # StatusPolling._swap_status); rate-limited
-        old = self._status
-        if old is not None and not self._stopped.all():
+        self._outstanding.append(status)
+        self._probe()
+        # harvest the newest COMPLETED status (an actual relay read) at most
+        # once per poll_min_interval
+        if self._latest_done is not None and not self._stopped.all():
             now = time.monotonic()
             if now - self._last_poll_time >= self.poll_min_interval:
                 self._last_poll_time = now
-                if old.is_ready():
-                    self._consume(np.asarray(old))
-        self._status = status
+                done, self._latest_done = self._latest_done, None
+                self._consume(np.asarray(done))
+
+    def _probe(self) -> None:
+        """Retire completed in-flight statuses (free local flag checks;
+        execution is in-order, so a ready entry subsumes all before it)."""
+        q = self._outstanding
+        while q and q[0].is_ready():
+            self._latest_done = q.pop(0)
 
     def insert(self, stream_bufs: Sequence) -> np.ndarray:
         """Append raw samples per stream (``None`` = no new audio) and
@@ -198,21 +215,27 @@ class MultiStreamWTW:
         return self._stopped.copy()
 
     def _poll(self, block: bool = False) -> None:
-        if self._status is None:
+        if block:
+            if self._outstanding:
+                vec = np.asarray(self._outstanding[-1])  # waits for the tail
+                self._outstanding = []
+                self._latest_done = None
+                self._consume(vec)
+            elif self._latest_done is not None:
+                done, self._latest_done = self._latest_done, None
+                self._consume(np.asarray(done))
             return
-        if not block:
-            now = time.monotonic()
-            if now - self._last_poll_time < self.poll_min_interval:
-                return
-            self._last_poll_time = now  # throttle the probe, not the harvest
-            if not self._status.is_ready():
-                return
-        vec = np.asarray(self._status)
-        self._status = None
-        self._consume(vec)
+        self._probe()
+        if self._latest_done is None:
+            return
+        now = time.monotonic()
+        if now - self._last_poll_time < self.poll_min_interval:
+            return
+        self._last_poll_time = now
+        done, self._latest_done = self._latest_done, None
+        self._consume(np.asarray(done))
 
     def _consume(self, vec: np.ndarray) -> None:
-        self._status = None
         self._stopped |= (vec[:, 0] & 1).astype(bool)
         if (vec[:, 0] & 2).any():  # pragma: no cover - exact capacity bound
             raise AssertionError("MultiStreamWTW path buffer overflow")

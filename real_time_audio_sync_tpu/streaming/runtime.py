@@ -173,11 +173,21 @@ class ScoreFollower:
         cols = np.asarray(chroma_frames(jnp.asarray(np.stack(windows), self.engine.dtype)))
         events: List[FollowEvent] = []
         if self.pipelined:
-            # one async dispatch per hop batch; never block on the device.
-            # The follow event reports the score position from the newest
-            # completed status vector (engine.last_point == path[-1]).
+            # async dispatch; never block on the device.  The follow event
+            # reports the score position from the newest completed status
+            # vector (engine.last_point == path[-1]).  Engines with an
+            # adaptive feed (models/fused_streaming.py) take columns one at
+            # a time — dispatched immediately while the pipeline has room,
+            # coalesced into one launch only under saturation.
             self.latency.start()
-            status = self.engine.insert_block_nowait(cols)
+            if hasattr(self.engine, "feed"):
+                status = None
+                for k in range(cols.shape[1]):
+                    status = self.engine.feed(cols[:, k])
+                    if status == "stop":
+                        break
+            else:
+                status = self.engine.insert_block_nowait(cols)
             self.latency.stop()
             if status != "stop":
                 status = self.engine.poll()  # non-blocking opportunistic read

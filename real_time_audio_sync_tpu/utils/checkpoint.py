@@ -67,9 +67,8 @@ def load_fused_state(engine, path: str) -> None:
     engine._state = jax.device_put(
         tuple(jnp.asarray(data[n]) for n in ("w", "live_t", "path_x", "path_y", "scalars"))
     )
-    engine._status = None
+    engine._init_status_polling()  # no in-flight work survives a restore
     engine._stopped_cached = bool(int(data["stopped"]))
-    engine._last_point = None
 
 
 def save_wtw_state(wtw, path: str) -> None:
@@ -165,6 +164,5 @@ def load_async_wtw_state(engine, path: str) -> None:
         jax.device_put(jnp.asarray(data[n])) for n in ("path_x", "path_y", "scalars")
     )
     engine.buf = SampleFIFO.from_array(data["buf"], engine.dtype)
-    engine._status = None
+    engine._init_status_polling()  # no in-flight work survives a restore
     engine._stopped_cached = bool(int(data["stopped"]))
-    engine._last_point = None

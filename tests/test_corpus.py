@@ -154,13 +154,19 @@ def test_heatmap_example_runs(chopin_pair, tmp_path):
 
 
 def test_align_pair_fused_wtw_matches_insert(chopin_pair):
-    """mode='fused' with engine='wtw' routes through the device-resident
-    AsyncWTW stepper; on CPU (any chunking) its committed path is identical
-    to the host WTW loop, so the pair result matches the insert mode."""
+    """engine='wtw' runs the device-resident AsyncWTW stepper in both
+    'insert' and 'fused' modes; mode='oracle' opts into the host WTW loop.
+    On CPU (any chunking) all three commit identical paths."""
     from real_time_audio_sync_tpu.eval.corpus import align_pair
 
     ref_wav, live_wav = chopin_pair
     a = align_pair(ref_wav, live_wav, "wtw", mode="insert")
     b = align_pair(ref_wav, live_wav, "wtw", mode="fused")
+    o = align_pair(ref_wav, live_wav, "wtw", mode="oracle")
     np.testing.assert_array_equal(np.asarray(a.path), np.asarray(b.path))
+    np.testing.assert_array_equal(np.asarray(a.path), np.asarray(o.path))
     assert a.score.pct_off_beats[1] == b.score.pct_off_beats[1]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="oracle"):
+        align_pair(ref_wav, live_wav, "otw", mode="oracle")

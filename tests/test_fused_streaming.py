@@ -127,3 +127,78 @@ def test_fused_streaming_livenote_v2_variant():
         fused.insert_block_nowait(live_d[:, s : s + 8])
     fused.flush()
     np.testing.assert_array_equal(fused.path_array, xla.path_array)
+
+
+@pytest.mark.parametrize("max_in_flight", [0, 2, 1000])
+def test_adaptive_feed_matches_sync_path(max_in_flight):
+    """feed() (adaptive dispatch coalescing) commits exactly the synchronous
+    per-frame path regardless of how frames coalesce into launches:
+    max_in_flight=0 forces maximal coalescing (every dispatch held until the
+    4*k_block liveness cap), 1000 forces a dispatch per frame, 2 is the
+    production regime."""
+    rng = np.random.default_rng(7)
+    ref, live = _make_pair(rng, n_ref=48, stretch=1.25)
+    xla = OnlineTimeWarping(ref, PARAMS, dtype=np.float32)
+    for i in range(live.shape[1]):
+        if xla.insert(live[:, i]) == "stop":
+            break
+
+    fused = FusedStreamingEngine(ref, PARAMS, k_block=8, interpret=True)
+    fused.max_in_flight = max_in_flight
+    for i in range(live.shape[1]):
+        if fused.feed(live[:, i]) == "stop":
+            break
+    fused.flush()
+    np.testing.assert_array_equal(fused.path_array, xla.path_array)
+    if max_in_flight == 0:
+        # saturated pipeline: multi-frame launches actually happened
+        assert max(fused.dispatched_block_sizes, default=1) == 8
+    if max_in_flight == 1000:
+        # open pipeline: every frame dispatched the moment it arrived
+        assert all(k == 1 for k in fused.dispatched_block_sizes)
+
+
+def test_feed_never_buffers_when_pipeline_open():
+    """At real-time pacing (pipeline drained between hops) feed() must
+    dispatch every frame immediately — zero added input latency."""
+    import jax
+
+    rng = np.random.default_rng(8)
+    ref, live = _make_pair(rng, n_ref=32, stretch=1.0)
+    fused = FusedStreamingEngine(ref, PARAMS, k_block=8, interpret=True)
+    for i in range(min(20, live.shape[1])):
+        fused.feed(live[:, i])
+        assert len(fused._pending) == 0
+        jax.block_until_ready(fused._state)  # device idle before next hop
+
+
+def test_staleness_accounting():
+    """Status harvests record how many frames ran ahead of the harvested
+    position; a blocking flush always brings staleness to zero."""
+    rng = np.random.default_rng(9)
+    ref, live = _make_pair(rng, n_ref=48, stretch=1.0)
+    fused = FusedStreamingEngine(ref, PARAMS, k_block=8, interpret=True)
+    fused.poll_min_interval = 0.0  # harvest as often as completion allows
+    n = live.shape[1]
+    for i in range(n):
+        if fused.feed(live[:, i]) == "stop":
+            break
+    fused.flush()
+    assert fused.last_point_age_frames == 0
+    assert fused.staleness_log, "harvests must be recorded"
+    assert all(0 <= s <= fused._frames_dispatched for s in fused.staleness_log)
+    # the final (flush) harvest covers every dispatched frame
+    assert fused.staleness_log[-1] == 0
+
+
+def test_in_flight_probes_are_consistent():
+    import jax
+
+    rng = np.random.default_rng(10)
+    ref, live = _make_pair(rng, n_ref=32, stretch=1.0)
+    fused = FusedStreamingEngine(ref, PARAMS, k_block=4, interpret=True)
+    for s in range(0, 16, 4):
+        fused.insert_block_nowait(live[:, s : s + 4])
+    jax.block_until_ready([st for _, st in fused._outstanding])
+    assert fused.in_flight() == 0
+    assert fused.flush() is None or fused.flush() == "stop"

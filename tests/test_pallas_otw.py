@@ -94,3 +94,41 @@ def test_pallas_ref_exhaustion_stop():
     path, t, j, stopped = pallas_set_live(ref, live, PARAMS)
     np.testing.assert_array_equal(path, xla.path_array)
     assert stopped == (j >= ref.shape[1])
+
+
+def test_pallas_batched_set_live_matches_solo():
+    """One-launch batched corpus alignment (grid over pairs, O(c²) scratch)
+    == per-pair pallas_set_live, ragged lengths + early per-pair exits."""
+    from real_time_audio_sync_tpu.ops.pallas_otw import (
+        pallas_batched_set_live,
+        pallas_set_live,
+    )
+    from tests.test_online import _make_pair
+
+    rng = np.random.default_rng(5)
+    pairs = [_make_pair(rng, n_ref=24 + 6 * i, stretch=1.0 + 0.15 * i) for i in range(4)]
+    params = {"c": 10, "max_run_count": 3}
+    solo = [pallas_set_live(r, l, params) for r, l in pairs]
+    batched = pallas_batched_set_live(
+        [r for r, _ in pairs], [l for _, l in pairs], params, interpret=True
+    )
+    for (bp, bt, bj, bs), (sp, st, sj, ss) in zip(batched, solo):
+        np.testing.assert_array_equal(bp, sp)
+        assert (bt, bj, bs) == (st, sj, ss)
+
+
+def test_pallas_batched_set_live_shared_ref():
+    from real_time_audio_sync_tpu.ops.pallas_otw import (
+        pallas_batched_set_live,
+        pallas_set_live,
+    )
+    from tests.test_online import _make_pair
+
+    rng = np.random.default_rng(6)
+    ref, live = _make_pair(rng, n_ref=32, stretch=1.25)
+    params = {"c": 10, "max_run_count": 3}
+    sp, st, sj, ss = pallas_set_live(ref, live, params)
+    batched = pallas_batched_set_live([ref] * 3, [live] * 3, params, interpret=True)
+    for bp, bt, bj, bs in batched:
+        np.testing.assert_array_equal(bp, sp)
+        assert (bt, bj, bs) == (st, sj, ss)

@@ -183,3 +183,150 @@ def test_multistream_mesh_requires_divisible_batch():
     refs = [_make_pair(rng, n_ref=30)[0] for _ in range(3)]
     with pytest.raises(ValueError, match="divisible"):
         MultiStreamFollower(refs, {"c": 10, "max_run_count": 3}, mesh=corpus_mesh())
+
+
+# ---------------------------------------------------------------------------
+# Fused (Pallas) multi-stream serving — O(c²) banded state per stream
+# ---------------------------------------------------------------------------
+
+FMS_PARAMS = {"c": 10, "max_run_count": 3}
+
+
+def _solo_fused_path(ref, live):
+    from real_time_audio_sync_tpu.models.fused_streaming import FusedStreamingEngine
+
+    e = FusedStreamingEngine(ref, FMS_PARAMS, k_block=8, interpret=True)
+    for i in range(live.shape[1]):
+        if e.feed(live[:, i]) == "stop":
+            break
+    e.flush()
+    return e.path_array
+
+
+def test_fused_multistream_matches_solo_mixed_refs():
+    """B streams against different (padded) references commit exactly the
+    solo fused engine's paths, including per-stream stop divergence."""
+    from real_time_audio_sync_tpu.parallel import FusedMultiStreamFollower
+
+    rng = np.random.default_rng(0)
+    pairs = [_make_pair(rng, n_ref=32 + 8 * i, stretch=1.0 + 0.2 * i) for i in range(3)]
+    solo = [_solo_fused_path(r, l) for r, l in pairs]
+
+    fms = FusedMultiStreamFollower([r for r, _ in pairs], FMS_PARAMS, k_block=8, interpret=True)
+    tmax = max(l.shape[1] for _, l in pairs)
+    for t in range(tmax):
+        cols = np.zeros((3, 12), np.float32)
+        act = np.zeros(3, bool)
+        for i, (_, l) in enumerate(pairs):
+            if t < l.shape[1]:
+                cols[i], act[i] = l[:, t], True
+        fms.feed(cols, act)
+    fms.flush()
+    for i, p in enumerate(fms.paths()):
+        np.testing.assert_array_equal(p, solo[i])
+    # last_points reflect each stream's committed path tail after flush
+    for i, p in enumerate(fms.paths()):
+        assert tuple(fms.last_points[i]) == (len(p), *p[-1])
+
+
+def test_fused_multistream_shared_ref_skewed_feeds():
+    """Shared-reference mode with a half-rate stream: committed paths are
+    feed-skew independent and equal to the solo engine's."""
+    from real_time_audio_sync_tpu.parallel import FusedMultiStreamFollower
+
+    rng = np.random.default_rng(1)
+    ref, live = _make_pair(rng, n_ref=32, stretch=1.2)
+    solo = _solo_fused_path(ref, live)
+
+    fms = FusedMultiStreamFollower(ref, FMS_PARAMS, n_streams=2, k_block=8, interpret=True)
+    t2 = 0
+    for t in range(live.shape[1] * 2):
+        cols = np.zeros((2, 12), np.float32)
+        act = np.zeros(2, bool)
+        if t < live.shape[1]:
+            cols[0], act[0] = live[:, t], True
+        if t % 2 == 0 and t2 < live.shape[1]:
+            cols[1], act[1] = live[:, t2], True
+            t2 += 1
+        fms.feed(cols, act)
+    fms.flush()
+    for p in fms.paths():
+        np.testing.assert_array_equal(p, solo)
+
+
+def test_fused_multistream_stop_and_freeze():
+    """A stream whose reference is exhausted freezes (post-stop feeds are
+    no-ops) and surfaces in the stopped mask without a blocking flush."""
+    from real_time_audio_sync_tpu.parallel import FusedMultiStreamFollower
+
+    rng = np.random.default_rng(2)
+    ref, live = _make_pair(rng, n_ref=24, stretch=1.0)
+    from tests.test_online import _unit_cols
+
+    extra = _unit_cols(rng.random((12, 40)) + 0.05)
+    long_live = np.concatenate([live, extra], axis=1)
+    solo = _solo_fused_path(ref, long_live)
+
+    fms = FusedMultiStreamFollower(ref, FMS_PARAMS, n_streams=1, k_block=8, interpret=True)
+    fms.poll_min_interval = 0.0
+    seen_before_flush = False
+    for t in range(long_live.shape[1]):
+        stopped = fms.feed(long_live[None, :, t])
+        if stopped[0]:
+            seen_before_flush = True
+            break
+        if t == long_live.shape[1] - 20:
+            jax.block_until_ready(fms._outstanding)
+    assert fms.flush()[0]
+    assert seen_before_flush
+    np.testing.assert_array_equal(fms.paths()[0], solo)
+
+
+def test_fused_multistream_sharded_over_mesh_matches_solo():
+    """Stream axis sharded over the 8-virtual-device mesh via shard_map (the
+    Pallas grid runs B/8 steps per chip; zero collectives)."""
+    from real_time_audio_sync_tpu.parallel import FusedMultiStreamFollower, corpus_mesh
+
+    rng = np.random.default_rng(3)
+    ref, live = _make_pair(rng, n_ref=32, stretch=1.1)
+    solo = _solo_fused_path(ref, live)
+    mesh = corpus_mesh()
+    fms = FusedMultiStreamFollower(
+        ref, FMS_PARAMS, n_streams=8, k_block=8, interpret=True, mesh=mesh
+    )
+    for t in range(live.shape[1]):
+        fms.feed(np.repeat(live[None, :, t], 8, axis=0))
+    fms.flush()
+    for p in fms.paths():
+        np.testing.assert_array_equal(p, solo)
+
+
+def test_batched_set_live_banded_matches_dense():
+    """The banded (Pallas grid) corpus backend commits exactly the dense
+    XLA scan's paths; dense stays available as the debug/f64 artifact."""
+    from real_time_audio_sync_tpu.parallel import batched_set_live, pad_pairs
+
+    rng = np.random.default_rng(11)
+    pairs = [_make_pair(rng, n_ref=24 + 4 * i, stretch=1.0 + 0.1 * i) for i in range(3)]
+    r, l, rl, ll = pad_pairs([p[0] for p in pairs], [p[1] for p in pairs])
+    params = {"c": 8, "max_run_count": 3}
+    banded, mean_b = batched_set_live(r, l, rl, ll, params, backend="banded")
+    dense, mean_d = batched_set_live(r, l, rl, ll, params, backend="dense")
+    for pb, pd in zip(banded, dense):
+        np.testing.assert_array_equal(np.asarray(pb), np.asarray(pd))
+    assert abs(float(mean_b) - float(mean_d)) < 1e-6
+
+
+def test_batched_set_live_banded_sharded_over_mesh():
+    from real_time_audio_sync_tpu.parallel import batched_set_live, corpus_mesh, pad_pairs
+
+    rng = np.random.default_rng(12)
+    pairs = [_make_pair(rng, n_ref=24, stretch=1.2) for _ in range(8)]
+    r, l, rl, ll = pad_pairs([p[0] for p in pairs], [p[1] for p in pairs])
+    params = {"c": 8, "max_run_count": 3}
+    solo, _ = batched_set_live(r, l, rl, ll, params, backend="banded")
+    mesh = corpus_mesh()
+    sharded, mean_len = batched_set_live(r, l, rl, ll, params, mesh=mesh, backend="banded")
+    for ps, pm in zip(solo, sharded):
+        np.testing.assert_array_equal(np.asarray(ps), np.asarray(pm))
+    assert float(mean_len) > 0

@@ -102,10 +102,10 @@ def test_multistream_wtw_stop_surfaces_before_flush(chopin_pair):
             seen_before_flush = True
             break
         if i == 40:  # past the stop point: let the device catch up.
-            # NB: block on the status object itself — readiness flags of
+            # NB: block on the status objects themselves — readiness flags of
             # sibling outputs resolve asynchronously on the CPU backend, so
             # syncing the state alone can leave the status's is_ready False.
-            jax.block_until_ready(ms._status)
+            jax.block_until_ready(ms._outstanding)
     assert seen_before_flush
     assert ms.flush()[0]
 
@@ -128,3 +128,47 @@ def test_multistream_wtw_live_app_window_size(chopin_pair):
     assert len(solo.path) > 100
     assert ms.paths()[0] == solo.path and ms.paths()[1] == solo.path
     assert ms.pointers()[0] == solo.pointers
+
+
+def test_int16_transfer_matches_float32_exact_source():
+    """transfer_dtype='int16' is bit-exact when samples are int16/32768
+    multiples (mono PCM16 sources): committed paths and pointers match the
+    float32-transfer engine on the same audio."""
+    rng = np.random.default_rng(13)
+    fs = 22050
+    ref_i16 = (rng.integers(-20000, 20000, int(3.0 * fs))).astype(np.int16)
+    live_i16 = (0.9 * ref_i16[: int(2.5 * fs)]).astype(np.int16)
+    ref = ref_i16.astype(np.float64) / 32768.0
+    live = live_i16.astype(np.float64) / 32768.0
+    params = {"fft_len": 4096, "hop_size": 2048,
+              "dtw_win_size": 4096 * 3, "dtw_hop_size": 2048 * 3}
+
+    a = AsyncWTW(ref, params, k_block=4, dtype=np.float64)
+    b = AsyncWTW(ref, params, k_block=4, dtype=np.float64, transfer_dtype="int16")
+    for chunk in np.array_split(live, 16):
+        a.insert(chunk)
+        b.insert(chunk)
+    a.flush(); b.flush()
+    assert len(a.path) > 10
+    assert a.path == b.path
+    assert a.pointers == b.pointers
+
+    ms_f = MultiStreamWTW([ref, ref], params, k_block=4, dtype=np.float64)
+    ms_i = MultiStreamWTW([ref, ref], params, k_block=4, dtype=np.float64,
+                          transfer_dtype="int16")
+    for chunk in np.array_split(live, 16):
+        ms_f.insert([chunk, chunk])
+        ms_i.insert([chunk, chunk])
+    ms_f.flush(); ms_i.flush()
+    assert ms_f.paths() == ms_i.paths() == [a.path, a.path]
+
+
+def test_transfer_dtype_validation():
+    params = {"fft_len": 4096, "hop_size": 2048,
+              "dtw_win_size": 4096 * 3, "dtw_hop_size": 2048 * 3}
+    rng = np.random.default_rng(0)
+    wav = rng.standard_normal(22050 * 2).astype(np.float32) * 0.1
+    with pytest.raises(ValueError, match="transfer_dtype"):
+        AsyncWTW(wav, params, transfer_dtype="int8")
+    with pytest.raises(ValueError, match="transfer_dtype"):
+        MultiStreamWTW([wav], params, transfer_dtype="int8")
