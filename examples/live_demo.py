@@ -46,6 +46,9 @@ def main(argv=None) -> int:
     ap.add_argument("--interpret", action="store_true", help="Pallas interpreter (CPU)")
     ap.add_argument("--out-dir", default=None, help="write field log + click wav here")
     ap.add_argument("--realtime", action="store_true", help="pace the mic at the audio clock")
+    ap.add_argument("--tile", type=int, default=1,
+                    help="tile ref+live audio N times (synthetic long rehearsal, "
+                         "e.g. --tile 5 --realtime for a ~3-minute drift run)")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args(argv)
 
@@ -53,6 +56,20 @@ def main(argv=None) -> int:
     from real_time_audio_sync_tpu.streaming import ScoreFollower, SimulatedMic
     from real_time_audio_sync_tpu.streaming.audio_io import ClickTrack, DuplexAudio, WavFileSink
     from real_time_audio_sync_tpu.streaming.display import Cursor3D, MeterDisplay
+
+    if args.tile > 1:
+        # synthetic long rehearsal: tile both recordings (no beat CSVs — the
+        # run measures drift/staleness, not beat accuracy)
+        import tempfile
+
+        from real_time_audio_sync_tpu.utils.wavio import load_wav, write_wav
+
+        tmp = tempfile.mkdtemp(prefix="rtas_rehearsal_")
+        for attr in ("ref", "live"):
+            wav, fs = load_wav(getattr(args, attr))
+            out = os.path.join(tmp, f"{attr}_x{args.tile}.wav")
+            write_wav(out, np.tile(wav, args.tile), fs)
+            setattr(args, attr, out)
 
     if args.engine in ("wtw", "wtw_async"):
         # raw-audio windowed engine (wtw_live.py role); "wtw_async" runs the
@@ -93,11 +110,27 @@ def main(argv=None) -> int:
 
     follower.start()
     hops = 0
+    # drift instrumentation (livenote_live.py:203-206): wall-clock-expected
+    # live frame vs the algorithm's current path head, plus the pipelined
+    # engines' score-position staleness
+    import time as _time
+
+    HOP_SEC = 2048 / 22050.0
+    t_start = None
+    drifts, ages = [], []
     for buf in SimulatedMic(args.live, buffer_size=2048, realtime=args.realtime):
+        if t_start is None:
+            t_start = _time.perf_counter()
         events = follower.receive_audio(buf)
         if duplex is not None:
             duplex.on_update()
         hops += 1
+        if args.realtime and events:
+            expected = (_time.perf_counter() - t_start) / HOP_SEC
+            drifts.append(expected - events[-1].live_frame)
+            eng = getattr(follower, "engine", None) or getattr(follower, "dtw", None)
+            if hasattr(eng, "last_point_age_frames"):
+                ages.append(eng.last_point_age_frames)
         if events and not args.quiet and hops % 40 == 0:
             e = events[-1]
             meter.set(follower.meter.db)
@@ -121,7 +154,19 @@ def main(argv=None) -> int:
         print(f"field log: {log_path}")
     summary = follower.latency.summary()
     if summary:
-        print(f"insert dispatch p50 {summary['p50_ms']:.2f} ms over {summary['count']} hops")
+        print(f"insert dispatch p50 {summary['p50_ms']:.2f} ms, "
+              f"p99 {summary.get('p99_ms', float('nan')):.2f} ms over {summary['count']} hops")
+    if drifts:
+        # expected-frame-vs-path-head drift (livenote_live.py:203-206): the
+        # constant ~2-frame part is the analysis window + fresh-hop offset;
+        # GROWTH over the run would mean the follower falls behind real time
+        audio_min = hops * 2048 / 22050.0 / 60.0
+        print(f"max drift {max(drifts):.1f} frames (mean {np.mean(drifts):.1f}) "
+              f"over {audio_min:.1f} min at real-time pacing")
+    if ages:
+        a = np.asarray(ages, float)
+        print(f"score-position staleness: p50 {np.percentile(a, 50):.0f} "
+              f"p99 {np.percentile(a, 99):.0f} max {a.max():.0f} hops (target <=1)")
     return 0
 
 
