@@ -275,9 +275,10 @@ def main() -> int:
             deadline = t_start + i * HOP_SEC
             while time.perf_counter() < deadline:
                 time.sleep(0.001)
+            if i:  # staleness as a UI polling just before the next hop sees it
+                ages.append(rt_eng.last_point_age_frames)
             rt_eng.feed(live[:, i])
             rt_eng.poll()
-            ages.append(rt_eng.last_point_age_frames)
             # drift: frames the wall clock expects vs frames actually fed
             drifts.append((time.perf_counter() - t_start) / HOP_SEC - (i + 1))
         rt_eng.flush()
@@ -546,8 +547,50 @@ def main() -> int:
         mw = min(run_wtw_multi() for _ in range(2))
         log(f"multi-stream WTW (B={B}, one chip): {mw*1e3:.0f} ms -> "
             f"aggregate RTF {B*audio_sec/mw:.0f}x ({audio_sec/mw:.0f}x per stream)")
+
+        # int16 sample spans (half the H2D bytes — the multi-stream ceiling,
+        # docs/STATUS.md): same-session A/B vs the f32 run above
+        def run_wtw_multi_i16():
+            ms = MultiStreamWTW([REF_WAV] * B, wtw_params, k_block=8,
+                                transfer_dtype="int16")
+            t0 = time.perf_counter()
+            for s in range(0, len(live_raw), 8 * 2048):
+                ms.insert([live_raw[s : s + 8 * 2048]] * B)
+            ms.flush()
+            return time.perf_counter() - t0, ms
+
+        run_wtw_multi_i16()  # compile
+        (mwi, msi) = min((run_wtw_multi_i16() for _ in range(2)), key=lambda x: x[0])
+        log(f"multi-stream WTW int16 spans (B={B}): {mwi*1e3:.0f} ms -> "
+            f"aggregate RTF {B*audio_sec/mwi:.0f}x ({mw/mwi:.2f}x the f32 spans)")
     except Exception as e:
         log(f"WTW diagnostic skipped ({e})")
+
+    # --- 7c. fused multi-stream OTW serving: B concurrent followers, one
+    # Pallas launch per hop block, O(c²) banded state per stream
+    # (parallel/serving.FusedMultiStreamFollower; B=256 at N=1900 measured
+    # separately at aggregate RTF 1574x / 6.1x per stream, docs/STATUS.md)
+    try:
+        from real_time_audio_sync_tpu.parallel import FusedMultiStreamFollower
+
+        B = 64
+
+        def run_fms():
+            fms = FusedMultiStreamFollower(
+                ref.astype(np.float32), PARAMS, n_streams=B, k_block=8)
+            t0 = time.perf_counter()
+            for t in range(n_frames):
+                fms.feed(np.ascontiguousarray(np.repeat(live[None, :, t], B, axis=0)))
+            fms.flush()
+            return time.perf_counter() - t0, fms
+
+        run_fms()  # compile
+        fw, fms = min((run_fms() for _ in range(2)), key=lambda x: x[0])
+        log(f"fused multi-stream OTW serving (B={B}, one chip): {fw*1e3:.0f} ms -> "
+            f"aggregate RTF {B*audio_sec/fw:.0f}x ({fw/n_frames/B*1e6:.1f} us/frame/stream)")
+        assert [tuple(p) for p in fms.paths()[0]] == [tuple(p) for p in block_eng.path]
+    except Exception as e:
+        log(f"fused serving diagnostic skipped ({e})")
 
     # --- 8a. fused single-kernel OTW (ops/pallas_otw.py): the whole batch
     # alignment in one Pallas launch with O(c²) banded VMEM state

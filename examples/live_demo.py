@@ -118,7 +118,12 @@ def main(argv=None) -> int:
     HOP_SEC = 2048 / 22050.0
     t_start = None
     drifts, ages = [], []
+    eng = getattr(follower, "engine", None) or getattr(follower, "dtw", None)
     for buf in SimulatedMic(args.live, buffer_size=2048, realtime=args.realtime):
+        if args.realtime and t_start is not None and hasattr(eng, "last_point_age_frames"):
+            # staleness as a UI polling just before this hop sees it (the
+            # background harvester has had the whole previous hop to land)
+            ages.append(eng.last_point_age_frames)
         if t_start is None:
             t_start = _time.perf_counter()
         events = follower.receive_audio(buf)
@@ -128,9 +133,6 @@ def main(argv=None) -> int:
         if args.realtime and events:
             expected = (_time.perf_counter() - t_start) / HOP_SEC
             drifts.append(expected - events[-1].live_frame)
-            eng = getattr(follower, "engine", None) or getattr(follower, "dtw", None)
-            if hasattr(eng, "last_point_age_frames"):
-                ages.append(eng.last_point_age_frames)
         if events and not args.quiet and hops % 40 == 0:
             e = events[-1]
             meter.set(follower.meter.db)

@@ -108,6 +108,23 @@ class StatusPolling:
         self.poll_min_interval = self.POLL_INTERVAL_HOP
         self._last_poll_time = 0.0
         self.staleness_log = []  # frames-behind at each harvest (diagnostics)
+        #: run the blocking status READ (a ~27 ms relay round-trip) on a
+        #: background thread so the audio/dispatch loop never stalls on it —
+        #: measured in the 3-minute realtime rehearsal: in-thread harvests
+        #: cost p50 29 ms of every 92.9 ms hop.  Only the np.asarray RPC
+        #: runs off-thread; all bookkeeping stays on the caller thread via a
+        #: single-slot hand-off (the future), so no locks are needed.
+        self.async_harvest = True
+        self._harvest_future = None
+        self._harvest_pool = None
+
+    def _drain_harvest(self):
+        """Consume a background read that has completed (caller thread)."""
+        if self._harvest_future is not None and self._harvest_future.done():
+            frames, vec = self._harvest_future.result()
+            self._harvest_future = None
+            return self._consume_status(vec, frames)
+        return None
 
     # -- free local probes ---------------------------------------------------
 
@@ -134,6 +151,9 @@ class StatusPolling:
         if self._stopped_cached:
             return
         self._outstanding.append((self._frames_dispatched, new))
+        result = self._drain_harvest()
+        if result == "stop":
+            return
         self._probe()
         if self._latest_done is not None:
             now = time.monotonic()
@@ -146,7 +166,23 @@ class StatusPolling:
     def _harvest(self):
         frames, status = self._latest_done
         self._latest_done = None
-        return self._consume_status(np.asarray(status), frames)
+        if not self.async_harvest:
+            return self._consume_status(np.asarray(status), frames)
+        # hand the blocking RPC to the worker; consumed by a later
+        # _drain_harvest on the caller thread.  If a read is already in
+        # flight, drop this one — statuses are cumulative, a newer vector
+        # will be harvested next time.
+        if self._harvest_future is None:
+            if self._harvest_pool is None:
+                import concurrent.futures
+
+                self._harvest_pool = concurrent.futures.ThreadPoolExecutor(
+                    max_workers=1, thread_name_prefix="rtas-harvest"
+                )
+            self._harvest_future = self._harvest_pool.submit(
+                lambda f=frames, s=status: (f, np.asarray(s))
+            )
+        return None
 
     def poll(self, block: bool = False):
         """Check the newest completed status; returns ``"stop"`` or None.
@@ -156,14 +192,24 @@ class StatusPolling:
         if self._stopped_cached:
             return "stop"
         if block:
+            if self._harvest_future is not None:  # settle the worker first
+                frames, vec = self._harvest_future.result()
+                self._harvest_future = None
+                if self._consume_status(vec, frames) == "stop":
+                    return "stop"
             if self._outstanding:
                 frames, status = self._outstanding[-1]
                 self._outstanding = []
                 self._latest_done = None
                 return self._consume_status(np.asarray(status), frames)
             if self._latest_done is not None:
-                return self._harvest()
+                frames, status = self._latest_done
+                self._latest_done = None
+                return self._consume_status(np.asarray(status), frames)
             return None
+        result = self._drain_harvest()
+        if result == "stop":
+            return "stop"
         self._probe()
         if self._latest_done is None:
             return None
@@ -188,22 +234,29 @@ class StatusPolling:
             raise AssertionError("column-phase loop bound violated")
         if flags & 1:
             self._stopped_cached = True
-            # post-stop state is frozen; drop older in-flight vectors
+            # post-stop state is frozen; drop older in-flight vectors and
+            # any background read still in flight
             self._outstanding = []
             self._latest_done = None
+            self._harvest_future = None
             return "stop"
         return None
 
     @property
     def last_point(self):
         """(path_len, live, ref) from the most recent status read — the
-        current score position (== path[-1]) without fetching the path."""
+        current score position (== path[-1]) without fetching the path.
+        Consumes a completed background read first, so a UI polling this
+        property sees the freshest harvested position (typically ≤1 hop
+        behind at real-time pacing)."""
+        self._drain_harvest()
         return self._last_point
 
     @property
     def last_point_age_frames(self) -> int:
         """How many frames have been dispatched beyond the state
         ``last_point`` reflects — the current score-position staleness."""
+        self._drain_harvest()
         return self._frames_dispatched - self._last_point_frames
 
 

@@ -482,6 +482,7 @@ class AsyncWTW(StatusPolling):
             self._stopped_cached = True
             self._outstanding = []
             self._latest_done = None
+            self._harvest_future = None
             return "stop"
         return None
 

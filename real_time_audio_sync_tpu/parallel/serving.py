@@ -289,6 +289,9 @@ class FusedMultiStreamFollower:
         self.poll_min_interval = 2048 / 22050.0
         self._last_poll_time = 0.0
         self.dispatched_block_sizes: List[int] = []
+        # off-thread blocking reads (StatusPolling.async_harvest rationale)
+        self._harvest_future = None
+        self._harvest_pool = None
 
     def _build_step(self):
         from real_time_audio_sync_tpu.ops.pallas_otw import _pallas_multi_insert_block
@@ -369,13 +372,27 @@ class FusedMultiStreamFollower:
         *state, status = self._step(lens, block, self._state)
         self._state = tuple(state)
         self._outstanding.append(status)
+        self._drain_harvest()
         self._probe()
         if self._latest_done is not None and not self._stopped.all():
             now = self._time.monotonic()
             if now - self._last_poll_time >= self.poll_min_interval:
                 self._last_poll_time = now
                 done, self._latest_done = self._latest_done, None
-                self._consume(np.asarray(done))
+                if self._harvest_future is None:
+                    if self._harvest_pool is None:
+                        import concurrent.futures
+
+                        self._harvest_pool = concurrent.futures.ThreadPoolExecutor(
+                            max_workers=1, thread_name_prefix="rtas-fms-harvest")
+                    self._harvest_future = self._harvest_pool.submit(
+                        lambda d=done: np.asarray(d))
+
+    def _drain_harvest(self) -> None:
+        if self._harvest_future is not None and self._harvest_future.done():
+            vec = self._harvest_future.result()
+            self._harvest_future = None
+            self._consume(vec)
 
     def _probe(self) -> None:
         q = self._outstanding
@@ -398,6 +415,10 @@ class FusedMultiStreamFollower:
         returns the final per-stream stopped mask."""
         while any(self._pending):
             self._dispatch()
+        if self._harvest_future is not None:  # settle the worker first
+            vec = self._harvest_future.result()
+            self._harvest_future = None
+            self._consume(vec)
         if self._outstanding:
             vec = np.asarray(self._outstanding[-1])
             self._outstanding = []

@@ -152,6 +152,11 @@ class MultiStreamWTW:
         # design as models/online_core.StatusPolling)
         self.poll_min_interval = 2048 / 22050.0  # one feature hop
         self._last_poll_time = 0.0
+        # blocking reads run on a worker thread (models/online_core.
+        # StatusPolling.async_harvest rationale); bookkeeping stays on the
+        # caller thread via the single-slot future
+        self._harvest_future = None
+        self._harvest_pool = None
 
     # ------------------------------------------------------------------
     def _avail_cols(self, i: int) -> int:
@@ -178,15 +183,29 @@ class MultiStreamWTW:
         )
         self._state = (px, py, sc)
         self._outstanding.append(status)
+        self._drain_harvest()
         self._probe()
         # harvest the newest COMPLETED status (an actual relay read) at most
-        # once per poll_min_interval
+        # once per poll_min_interval — the read itself runs off-thread
         if self._latest_done is not None and not self._stopped.all():
             now = time.monotonic()
             if now - self._last_poll_time >= self.poll_min_interval:
                 self._last_poll_time = now
                 done, self._latest_done = self._latest_done, None
-                self._consume(np.asarray(done))
+                if self._harvest_future is None:
+                    if self._harvest_pool is None:
+                        import concurrent.futures
+
+                        self._harvest_pool = concurrent.futures.ThreadPoolExecutor(
+                            max_workers=1, thread_name_prefix="rtas-wtw-harvest")
+                    self._harvest_future = self._harvest_pool.submit(
+                        lambda d=done: np.asarray(d))
+
+    def _drain_harvest(self) -> None:
+        if self._harvest_future is not None and self._harvest_future.done():
+            vec = self._harvest_future.result()
+            self._harvest_future = None
+            self._consume(vec)
 
     def _probe(self) -> None:
         """Retire completed in-flight statuses (free local flag checks;
@@ -216,6 +235,10 @@ class MultiStreamWTW:
 
     def _poll(self, block: bool = False) -> None:
         if block:
+            if self._harvest_future is not None:  # settle the worker first
+                vec = self._harvest_future.result()
+                self._harvest_future = None
+                self._consume(vec)
             if self._outstanding:
                 vec = np.asarray(self._outstanding[-1])  # waits for the tail
                 self._outstanding = []
@@ -225,6 +248,7 @@ class MultiStreamWTW:
                 done, self._latest_done = self._latest_done, None
                 self._consume(np.asarray(done))
             return
+        self._drain_harvest()
         self._probe()
         if self._latest_done is None:
             return

@@ -113,6 +113,47 @@ awtw2.flush()
 assert len(host2.path) > 0, "w=100 short stream committed no windows"
 assert awtw2.path == host2.path, "AsyncWTW w=100 pallas-window path mismatch"
 assert awtw2.pointers == (host2.chroma_ptr, host2.live_ptr, host2.ref_ptr), "AsyncWTW w=100 pointer mismatch"
+
+# adaptive per-frame feed (dispatch coalescing) must commit the exact
+# synchronous path on hardware, under both open and saturated pipelines
+feedeng = FusedStreamingEngine(ref.astype(np.float32), P, k_block=8)
+for i in range(live.shape[1]):
+    if feedeng.feed(live[:, i].astype(np.float32)) == "stop":
+        break
+feedeng.flush()
+assert np.array_equal(feedeng.path_array, xla.path_array), "adaptive feed path mismatch"
+assert feedeng.last_point_age_frames == 0, "flush must zero staleness"
+
+# fused multi-stream serving (grid kernel, O(c^2) state per stream): B=2
+# against the solo engines, mixed true lengths via the shared-ref pad path
+from real_time_audio_sync_tpu.parallel import FusedMultiStreamFollower
+fms = FusedMultiStreamFollower(ref.astype(np.float32), P, n_streams=2, k_block=8)
+for t in range(live.shape[1]):
+    fms.feed(np.repeat(live[None, :, t].astype(np.float32), 2, axis=0))
+fms.flush()
+for pth in fms.paths():
+    assert np.array_equal(pth, xla.path_array), "multi-stream path mismatch"
+
+# batched banded set_live (grid over pairs) vs the solo fused kernel
+from real_time_audio_sync_tpu.ops.pallas_otw import pallas_batched_set_live
+batched = pallas_batched_set_live([ref, ref], [live, live[:, :300]], P)
+solo_a = pallas_set_live(ref, live, P)
+solo_b = pallas_set_live(ref, live[:, :300], P)
+for got, want in zip(batched, (solo_a, solo_b)):
+    assert np.array_equal(got[0], want[0]), "batched set_live path mismatch"
+    assert got[1:] == want[1:], "batched set_live pointer mismatch"
+
+# int16 sample spans decode in-program to the same committed path for
+# int16-exact audio (mono PCM16-derived); quantization contract in
+# models/wtw_async.AsyncWTW
+lq = np.round(lraw * 32768.0).clip(-32768, 32767) / 32768.0
+a16 = AsyncWTW("/root/reference/Songs/chopin/chopin_rubinstein_20b.wav", wp, k_block=8, transfer_dtype="int16")
+af32 = AsyncWTW("/root/reference/Songs/chopin/chopin_rubinstein_20b.wav", wp, k_block=8)
+for ch in [lq[:first]] + [lq[first + i * rest : first + (i + 1) * rest] for i in range(n_rest)]:
+    a16.insert(ch)
+    af32.insert(ch)
+a16.flush(); af32.flush()
+assert a16.path == af32.path, "int16-span path mismatch on int16-exact audio"
 print("TPU_PARITY_PASS")
 """
 
