@@ -543,26 +543,30 @@ def main() -> int:
             ms.flush()
             return time.perf_counter() - t0
 
-        run_wtw_multi()  # compile
-        mw = min(run_wtw_multi() for _ in range(2))
-        log(f"multi-stream WTW (B={B}, one chip): {mw*1e3:.0f} ms -> "
-            f"aggregate RTF {B*audio_sec/mw:.0f}x ({audio_sec/mw:.0f}x per stream)")
-
         # int16 sample spans (half the H2D bytes — the multi-stream ceiling,
-        # docs/STATUS.md): same-session A/B vs the f32 run above
-        def run_wtw_multi_i16():
+        # docs/STATUS.md) — INTERLEAVED A/B with the f32 runs: the relay's
+        # bandwidth drifts minute-to-minute, so back-to-back per-mode runs
+        # would mostly measure that drift
+        def run_wtw_multi_mode(transfer):
             ms = MultiStreamWTW([REF_WAV] * B, wtw_params, k_block=8,
-                                transfer_dtype="int16")
+                                transfer_dtype=transfer)
             t0 = time.perf_counter()
             for s in range(0, len(live_raw), 8 * 2048):
                 ms.insert([live_raw[s : s + 8 * 2048]] * B)
             ms.flush()
-            return time.perf_counter() - t0, ms
+            return time.perf_counter() - t0
 
-        run_wtw_multi_i16()  # compile
-        (mwi, msi) = min((run_wtw_multi_i16() for _ in range(2)), key=lambda x: x[0])
+        run_wtw_multi()  # compile f32
+        run_wtw_multi_mode("int16")  # compile int16
+        f32_walls, i16_walls = [], []
+        for _ in range(2):
+            f32_walls.append(run_wtw_multi_mode("float32"))
+            i16_walls.append(run_wtw_multi_mode("int16"))
+        mw, mwi = min(f32_walls), min(i16_walls)
+        log(f"multi-stream WTW (B={B}, one chip): {mw*1e3:.0f} ms -> "
+            f"aggregate RTF {B*audio_sec/mw:.0f}x ({audio_sec/mw:.0f}x per stream)")
         log(f"multi-stream WTW int16 spans (B={B}): {mwi*1e3:.0f} ms -> "
-            f"aggregate RTF {B*audio_sec/mwi:.0f}x ({mw/mwi:.2f}x the f32 spans)")
+            f"aggregate RTF {B*audio_sec/mwi:.0f}x ({mw/mwi:.2f}x the f32 spans, interleaved A/B)")
     except Exception as e:
         log(f"WTW diagnostic skipped ({e})")
 

@@ -218,11 +218,18 @@ class CorpusRunner:
             else:
                 skipped.append((ref_wav, live_wav))
 
+        from real_time_audio_sync_tpu.models.online_core import ENGINE_OVERRIDES
+
         if self.engine == "wtw" and self.mode == "fused" and len(present) > 1:
             # the whole sweep as ONE multi-stream run: every pair is a
             # stream of the vmapped device-resident stepper, one dispatch
             # per block advances all pairs (parallel/wtw_serving.py)
             results = self._evaluate_wtw_batched(present, verbose)
+        elif self.engine in ENGINE_OVERRIDES and self.mode == "fused" and len(present) > 1:
+            # online engines: the whole sweep in ONE Pallas launch — a grid
+            # over pairs with O(c²) window scratch each (pallas_batched_
+            # set_live); per-pair paths equal solo pallas_set_live (tested)
+            results = self._evaluate_online_batched(present, verbose)
         else:
             for ref_wav, live_wav in present:
                 result = align_pair(ref_wav, live_wav, self.engine, self.params, self.dtype, mode=self.mode)
@@ -258,6 +265,41 @@ class CorpusRunner:
             f"[{self.engine}]: >1b={s.pct_off_beats[1]:.2f}% "
             f">3b={s.pct_off_beats[3]:.2f}% >3s={s.pct_off_3s:.2f}%"
         )
+
+    def _evaluate_online_batched(self, pairs: List[Tuple[str, str]], verbose: bool) -> List[PairResult]:
+        """All pairs through :func:`pallas_batched_set_live` at once (one
+        launch, grid over pairs); identical per-pair paths to the solo fused
+        kernel (tests/test_synthetic_corpus.py)."""
+        import contextlib
+
+        import jax
+        from jax.experimental.pallas import tpu as pltpu
+
+        from real_time_audio_sync_tpu.features.chroma import wav_to_chroma, wav_to_chroma_diff
+        from real_time_audio_sync_tpu.models.online_core import ENGINE_OVERRIDES
+        from real_time_audio_sync_tpu.ops.pallas_otw import pallas_batched_set_live
+
+        feature = wav_to_chroma_diff if self.engine == "livenote_v2_diff" else wav_to_chroma
+        refs, lives = [], []
+        for ref_wav, live_wav in pairs:
+            refs.append(np.asarray(feature(ref_wav, dtype=np.float32)))
+            lives.append(np.asarray(feature(live_wav, dtype=np.float32)))
+        p = self.params or DEFAULT_PARAMS
+        ctx = (
+            pltpu.force_tpu_interpret_mode()
+            if jax.devices()[0].platform == "cpu"
+            else contextlib.nullcontext()
+        )
+        with ctx:
+            aligned = pallas_batched_set_live(refs, lives, p, **ENGINE_OVERRIDES[self.engine])
+        results = []
+        for (ref_wav, live_wav), (path, _, _, _) in zip(pairs, aligned):
+            score = PathScorer.for_pair(ref_wav, live_wav).score([tuple(pt) for pt in path])
+            result = PairResult(ref_wav, live_wav, self.engine, np.asarray(path), score)
+            results.append(result)
+            if verbose:
+                self._print_result(result)
+        return results
 
     def _evaluate_wtw_batched(self, pairs: List[Tuple[str, str]], verbose: bool) -> List[PairResult]:
         """All pairs through :class:`MultiStreamWTW` at once, each stream fed

@@ -343,6 +343,7 @@ class FusedMultiStreamFollower:
             if act[i] and not self._stopped[i]:
                 self._pending[i].append(cols[i])
         self._drain()
+        self.poll()
         return self._stopped.copy()
 
     def _drain(self) -> None:
@@ -372,6 +373,16 @@ class FusedMultiStreamFollower:
         *state, status = self._step(lens, block, self._state)
         self._state = tuple(state)
         self._outstanding.append(status)
+        self.poll()
+
+    def poll(self) -> np.ndarray:
+        """Non-blocking status refresh (mirrors the solo engines'
+        :meth:`StatusPolling.poll`): consume a completed background read,
+        retire finished launches with free probes, and kick off a new
+        rate-limited background harvest of the newest completed vector.
+        Returns the per-stream stopped mask.  Called on every :meth:`feed`
+        and on ``stopped``/``last_points`` access, so status progresses even
+        while no new columns are being dispatched."""
         self._drain_harvest()
         self._probe()
         if self._latest_done is not None and not self._stopped.all():
@@ -387,6 +398,7 @@ class FusedMultiStreamFollower:
                             max_workers=1, thread_name_prefix="rtas-fms-harvest")
                     self._harvest_future = self._harvest_pool.submit(
                         lambda d=done: np.asarray(d))
+        return self._stopped.copy()
 
     def _drain_harvest(self) -> None:
         if self._harvest_future is not None and self._harvest_future.done():
@@ -433,12 +445,13 @@ class FusedMultiStreamFollower:
 
     @property
     def stopped(self) -> np.ndarray:
-        return self._stopped.copy()
+        return self.poll()
 
     @property
     def last_points(self) -> np.ndarray:
         """(B, 3) [path_len, live, ref] per stream from the newest completed
         harvest — score positions without fetching paths."""
+        self.poll()
         return self._last_points.copy()
 
     def paths(self) -> List[np.ndarray]:

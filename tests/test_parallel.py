@@ -1,5 +1,7 @@
 """Multi-chip paths on the 8-virtual-device CPU mesh (conftest)."""
 
+import time
+
 import jax
 import numpy as np
 import pytest
@@ -275,8 +277,18 @@ def test_fused_multistream_stop_and_freeze():
         if stopped[0]:
             seen_before_flush = True
             break
-        if t == long_live.shape[1] - 20:
-            jax.block_until_ready(fms._outstanding)
+    else:
+        # the live ran out before the async status pipeline surfaced the
+        # stop — keep polling (non-blocking, like a UI would) with a
+        # generous deadline; the background read completes in microseconds
+        # once the worker thread is scheduled
+        jax.block_until_ready(fms._outstanding)
+        deadline = time.monotonic() + 30.0
+        while time.monotonic() < deadline:
+            if fms.poll()[0]:
+                seen_before_flush = True
+                break
+            time.sleep(0.01)
     assert fms.flush()[0]
     assert seen_before_flush
     np.testing.assert_array_equal(fms.paths()[0], solo)

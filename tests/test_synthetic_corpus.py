@@ -98,3 +98,32 @@ def test_corpus_sweep_fused_wtw_batched(synthetic_corpus):
         solo = align_pair(ref_wav, live_wav, "wtw", mode="fused")
         assert [tuple(p) for p in r.path] == [tuple(p) for p in solo.path]
         assert r.score.pct_off_beats[3] <= 10.0
+
+
+def test_corpus_sweep_fused_online_batched(synthetic_corpus):
+    """Online engines in mode='fused' run the whole sweep as ONE batched
+    Pallas launch (grid over pairs); per-pair paths identical to solo
+    pallas_set_live alignment."""
+    import contextlib
+
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+
+    from real_time_audio_sync_tpu.models.online_core import ENGINE_OVERRIDES
+    from real_time_audio_sync_tpu.ops.pallas_otw import pallas_set_live
+    from real_time_audio_sync_tpu.features.chroma import wav_to_chroma
+
+    runner = CorpusRunner(synthetic_corpus, engine="livenote_v2", mode="fused")
+    report = runner.evaluate(verbose=False)
+    assert len(report.results) == 2 and not report.skipped
+    for r in report.results:
+        ref = np.asarray(wav_to_chroma(r.ref_wav, dtype=np.float32))
+        live = np.asarray(wav_to_chroma(r.live_wav, dtype=np.float32))
+        ctx = (pltpu.force_tpu_interpret_mode()  # fresh CM per use
+               if jax.devices()[0].platform == "cpu" else contextlib.nullcontext())
+        with ctx:
+            solo, _, _, _ = pallas_set_live(
+                ref, live, {"c": 50, "max_run_count": 3},
+                **ENGINE_OVERRIDES["livenote_v2"])
+        np.testing.assert_array_equal(np.asarray(r.path), solo)
+        assert r.score.pct_off_beats[3] <= 10.0
