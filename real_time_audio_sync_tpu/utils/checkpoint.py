@@ -71,6 +71,127 @@ def load_fused_state(engine, path: str) -> None:
     engine._stopped_cached = bool(int(data["stopped"]))
 
 
+def save_multi_stream_state(fms, path: str) -> None:
+    """Snapshot a :class:`~real_time_audio_sync_tpu.parallel.serving.
+    FusedMultiStreamFollower` — all ``B`` streams' banded window, live
+    features, committed paths and scalar state in one ``.npz``.  Flushes
+    first (dispatches queued columns, waits for in-flight launches) so the
+    snapshot is a consistent frontier across every stream."""
+    fms.flush()
+    w, live_t, px, py, sc = (np.asarray(x) for x in fms._state)
+    np.savez_compressed(
+        path,
+        ref_t=np.asarray(fms._ref_dev), w=w, live_t=live_t,
+        path_x=px, path_y=py, scalars=sc,
+        stopped=fms._stopped.astype(np.int32),
+        last_points=np.asarray(fms._last_points, np.int64),
+        k_block=np.int32(fms.k_block),
+        c=np.int32(fms.cfg.c),
+        max_run_count=np.int32(fms.cfg.max_run_count),
+    )
+
+
+def load_multi_stream_state(fms, path: str) -> None:
+    """Restore a snapshot into a compatibly-constructed follower (same
+    references, params, k_block and stream count; any mesh layout — the
+    stream axis is re-sharded to the target's mesh on load)."""
+    import jax
+    import jax.numpy as jnp
+
+    from real_time_audio_sync_tpu.parallel.serving import batch_axis_sharding_put
+
+    data = np.load(path)
+    if data["ref_t"].shape != fms._ref_dev.shape or not np.array_equal(
+        data["ref_t"], np.asarray(fms._ref_dev)
+    ):
+        raise ValueError("checkpoint was taken against different reference sequences")
+    for field, want in (("k_block", fms.k_block), ("c", fms.cfg.c),
+                        ("max_run_count", fms.cfg.max_run_count)):
+        if int(data[field]) != want:
+            raise ValueError(
+                f"checkpoint {field} {int(data[field])} != engine {field} {want}")
+    names = ("w", "live_t", "path_x", "path_y", "scalars")
+    for name, cur in zip(names, fms._state):
+        if data[name].shape != cur.shape:
+            raise ValueError(
+                f"checkpoint field {name!r} has shape {data[name].shape}, engine expects {cur.shape}")
+    put = batch_axis_sharding_put(fms.mesh) if fms.mesh is not None else jax.device_put
+    fms._state = tuple(put(jnp.asarray(data[n])) for n in names)
+    fms._stopped = data["stopped"].astype(bool)
+    fms._last_points = data["last_points"].astype(np.int64)
+    # no queued columns or in-flight work survives a restore
+    fms._pending = [[] for _ in range(fms.b)]
+    fms._outstanding = []
+    fms._latest_done = None
+    fms._harvest_future = None
+    fms._last_poll_time = 0.0
+
+
+def save_multi_wtw_state(ms, path: str) -> None:
+    """Snapshot a :class:`~real_time_audio_sync_tpu.parallel.wtw_serving.
+    MultiStreamWTW` — device-resident live chromagrams, paths and scalar
+    state plus every stream's host sample FIFO.  Flushes first so the
+    snapshot is a consistent frontier."""
+    ms.flush()
+    px, py, sc = (np.asarray(x) for x in ms._state)
+    bufs = [b.to_array().astype(np.float64) for b in ms.bufs]
+    np.savez_compressed(
+        path,
+        ref_dev=np.asarray(ms._ref_dev), live_dev=np.asarray(ms._live_dev),
+        path_x=px, path_y=py, scalars=sc,
+        buf_cat=(np.concatenate(bufs) if bufs else np.zeros(0)),
+        buf_lens=np.asarray([len(b) for b in bufs], np.int64),
+        stopped=ms._stopped.astype(np.int32),
+        dtype=np.str_(ms.dtype.name),
+        k_block=np.int32(ms.k_block),
+        transfer_dtype=np.str_(ms.transfer_dtype),
+        dtw_win_size=np.int32(ms.params.dtw_win_size),
+        dtw_hop_size=np.int32(ms.params.dtw_hop_size),
+    )
+
+
+def load_multi_wtw_state(ms, path: str) -> None:
+    """Restore a snapshot into a compatibly-constructed MultiStreamWTW
+    (same references, params, k_block, dtype and transfer encoding)."""
+    import jax
+    import jax.numpy as jnp
+
+    from real_time_audio_sync_tpu.models.wtw import SampleFIFO
+    from real_time_audio_sync_tpu.parallel.serving import batch_axis_sharding_put
+
+    data = np.load(path)
+    if data["ref_dev"].shape != ms._ref_dev.shape or not np.array_equal(
+        data["ref_dev"], np.asarray(ms._ref_dev)
+    ):
+        raise ValueError("checkpoint was taken against different reference recordings")
+    if str(data["dtype"]) != ms.dtype.name:
+        raise ValueError(f"checkpoint dtype {data['dtype']} != engine dtype {ms.dtype.name}")
+    if str(data["transfer_dtype"]) != ms.transfer_dtype:
+        raise ValueError(
+            f"checkpoint transfer_dtype {data['transfer_dtype']} != engine {ms.transfer_dtype}")
+    for field in ("k_block", "dtw_win_size", "dtw_hop_size"):
+        want = ms.k_block if field == "k_block" else getattr(ms.params, field)
+        if int(data[field]) != want:
+            raise ValueError(
+                f"checkpoint {field} {int(data[field])} != engine {field} {want}")
+    names = ("live_dev", "path_x", "path_y", "scalars")
+    for name, cur in zip(names, (ms._live_dev, *ms._state)):
+        if data[name].shape != cur.shape:
+            raise ValueError(
+                f"checkpoint field {name!r} has shape {data[name].shape}, engine expects {cur.shape}")
+    put = batch_axis_sharding_put(ms.mesh) if ms.mesh is not None else jax.device_put
+    ms._live_dev = put(jnp.asarray(data["live_dev"]))
+    ms._state = tuple(put(jnp.asarray(data[n])) for n in names[1:])
+    splits = np.cumsum(data["buf_lens"])[:-1]
+    ms.bufs = [SampleFIFO.from_array(a, ms.dtype)
+               for a in np.split(data["buf_cat"], splits)]
+    ms._stopped = data["stopped"].astype(bool)
+    ms._outstanding = []
+    ms._latest_done = None
+    ms._harvest_future = None
+    ms._last_poll_time = 0.0
+
+
 def save_wtw_state(wtw, path: str) -> None:
     """Snapshot a WTW engine mid-stream (host-side state; models/wtw.py)."""
     acc = wtw.acc_cost if wtw.acc_cost is not None else np.empty((0, 0), wtw.dtype)

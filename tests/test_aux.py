@@ -201,3 +201,91 @@ def test_async_wtw_checkpoint_resume(tmp_path):
                      k_block=8, dtype=np.float64)
     with pytest.raises(ValueError):
         load_async_wtw_state(other, ckpt)
+
+
+def test_fused_multistream_checkpoint_resume(tmp_path):
+    """Serving-scale checkpoint: a FusedMultiStreamFollower snapshot (all B
+    streams' banded state in one .npz) restores into a fresh follower that
+    continues to paths bit-equal to an uninterrupted run."""
+    from real_time_audio_sync_tpu.parallel import FusedMultiStreamFollower
+    from real_time_audio_sync_tpu.utils.checkpoint import (
+        load_multi_stream_state,
+        save_multi_stream_state,
+    )
+    from tests.test_parallel import FMS_PARAMS, _make_pair, _solo_fused_path
+
+    rng = np.random.default_rng(7)
+    pairs = [_make_pair(rng, n_ref=30 + 5 * i, stretch=1.15) for i in range(2)]
+    solo = [_solo_fused_path(r, l) for r, l in pairs]
+    refs = [r for r, _ in pairs]
+    lives = [l for _, l in pairs]
+    tmax = max(l.shape[1] for l in lives)
+
+    def feed_range(fms, lo, hi):
+        for t in range(lo, hi):
+            cols = np.zeros((2, 12), np.float32)
+            act = np.zeros(2, bool)
+            for i, l in enumerate(lives):
+                if t < l.shape[1]:
+                    cols[i], act[i] = l[:, t], True
+            fms.feed(cols, act)
+
+    first = FusedMultiStreamFollower(refs, FMS_PARAMS, k_block=8, interpret=True)
+    feed_range(first, 0, tmax // 2)
+    ckpt = str(tmp_path / "fms.npz")
+    save_multi_stream_state(first, ckpt)
+
+    resumed = FusedMultiStreamFollower(refs, FMS_PARAMS, k_block=8, interpret=True)
+    load_multi_stream_state(resumed, ckpt)
+    feed_range(resumed, tmax // 2, tmax)
+    resumed.flush()
+    for p, s in zip(resumed.paths(), solo):
+        np.testing.assert_array_equal(p, s)
+
+    other = FusedMultiStreamFollower(refs, FMS_PARAMS, k_block=4, interpret=True)
+    with pytest.raises(ValueError):
+        load_multi_stream_state(other, ckpt)
+
+
+def test_multistream_wtw_checkpoint_resume(tmp_path):
+    """MultiStreamWTW snapshot (device state + every stream's sample FIFO)
+    restores to paths and pointers equal to an uninterrupted run."""
+    from real_time_audio_sync_tpu.parallel import MultiStreamWTW
+    from real_time_audio_sync_tpu.utils.checkpoint import (
+        load_multi_wtw_state,
+        save_multi_wtw_state,
+    )
+    from real_time_audio_sync_tpu.utils.wavio import write_wav
+    from tests.test_wtw import WTW_PARAMS, _synthetic_performance
+
+    ref = _synthetic_performance(seconds=10.0, seed=11)
+    idx = np.linspace(0, len(ref) - 1, int(len(ref) * 1.07))
+    live = np.interp(idx, np.arange(len(ref)), ref)
+    ref_path = str(tmp_path / "ref.wav")
+    write_wav(ref_path, ref)
+
+    chunks = np.array_split(live, 131)  # unaligned chunking
+    full = MultiStreamWTW([ref_path] * 2, WTW_PARAMS, k_block=8, dtype=np.float64)
+    for buf in chunks:
+        full.insert([buf, buf])
+    full.flush()
+
+    half = len(chunks) // 2
+    first = MultiStreamWTW([ref_path] * 2, WTW_PARAMS, k_block=8, dtype=np.float64)
+    for buf in chunks[:half]:
+        first.insert([buf, buf])
+    ckpt = str(tmp_path / "mswtw.npz")
+    save_multi_wtw_state(first, ckpt)
+
+    resumed = MultiStreamWTW([ref_path] * 2, WTW_PARAMS, k_block=8, dtype=np.float64)
+    load_multi_wtw_state(resumed, ckpt)
+    for buf in chunks[half:]:
+        resumed.insert([buf, buf])
+    resumed.flush()
+    assert resumed.paths() == full.paths()
+    assert resumed.pointers() == full.pointers()
+
+    other = MultiStreamWTW([ref_path] * 2, WTW_PARAMS, k_block=8,
+                           dtype=np.float64, transfer_dtype="int16")
+    with pytest.raises(ValueError):
+        load_multi_wtw_state(other, ckpt)
