@@ -558,15 +558,20 @@ def main() -> int:
 
         run_wtw_multi()  # compile f32
         run_wtw_multi_mode("int16")  # compile int16
-        f32_walls, i16_walls = [], []
+        run_wtw_multi_mode("chroma")  # compile chroma
+        f32_walls, i16_walls, ch_walls = [], [], []
         for _ in range(2):
             f32_walls.append(run_wtw_multi_mode("float32"))
             i16_walls.append(run_wtw_multi_mode("int16"))
-        mw, mwi = min(f32_walls), min(i16_walls)
+            ch_walls.append(run_wtw_multi_mode("chroma"))
+        mw, mwi, mwc = min(f32_walls), min(i16_walls), min(ch_walls)
         log(f"multi-stream WTW (B={B}, one chip): {mw*1e3:.0f} ms -> "
             f"aggregate RTF {B*audio_sec/mw:.0f}x ({audio_sec/mw:.0f}x per stream)")
         log(f"multi-stream WTW int16 spans (B={B}): {mwi*1e3:.0f} ms -> "
             f"aggregate RTF {B*audio_sec/mwi:.0f}x ({mw/mwi:.2f}x the f32 spans, interleaved A/B)")
+        log(f"multi-stream WTW chroma transfer (B={B}): {mwc*1e3:.0f} ms -> "
+            f"aggregate RTF {B*audio_sec/mwc:.0f}x ({mw/mwc:.2f}x the f32 spans; "
+            f"host-extracted columns, ~96x fewer H2D bytes)")
     except Exception as e:
         log(f"WTW diagnostic skipped ({e})")
 

@@ -63,6 +63,48 @@ def frontend_constants(n_fft: int = FFT_LEN, fs: int = FS, dtype=np.float32):
     return _CONST_CACHE[key]
 
 
+_HOST_CONST_CACHE: dict = {}
+
+
+def host_frontend_constants(n_fft: int = FFT_LEN, fs: int = FS, dtype=np.float32):
+    """(hann, filterbank_T) as HOST numpy arrays — the host-side twin of
+    :func:`frontend_constants` for paths that compute chroma on the CPU and
+    ship the 12-dim columns instead of raw samples (e.g. the WTW serving
+    layers' ``transfer_dtype="chroma"``, where host→device bandwidth is the
+    throughput ceiling).  The DFT runs as ``np.fft.rfft`` on the host, so no
+    DFT matmul factors are materialized."""
+    key = (n_fft, fs, np.dtype(dtype).name)
+    if key not in _HOST_CONST_CACHE:
+        _HOST_CONST_CACHE[key] = (
+            hann_window(n_fft).astype(dtype),
+            np.ascontiguousarray(chroma_filterbank(fs, n_fft).T).astype(dtype),
+        )
+    return _HOST_CONST_CACHE[key]
+
+
+def host_chroma_frames(frames: np.ndarray, n_fft: int = FFT_LEN, fs: int = FS,
+                       normalize: bool = True) -> np.ndarray:
+    """(T, n_fft) raw frames → (12, T) chroma, entirely on the host.
+
+    Same pipeline as :func:`_chroma_frames_impl` (window → rDFT → power →
+    filterbank → L2 normalize) with the rDFT as ``np.fft.rfft`` instead of
+    the device's two MXU matmuls.  The two differ in low-order float32 bits
+    (~1e-6 relative) — numerically equivalent, NOT bit-identical; callers
+    that need bit-parity with device-extracted features must extract on
+    device."""
+    dtype = np.dtype(frames.dtype)
+    win, fb_t = host_frontend_constants(n_fft, fs, dtype)
+    wf = frames * win[None, :]
+    spec = np.fft.rfft(wf, axis=1)
+    power = (spec.real.astype(dtype) ** 2 + spec.imag.astype(dtype) ** 2)
+    raw = power @ fb_t  # (T, 12)
+    if normalize:
+        norm = np.sqrt(np.sum(raw * raw, axis=1, keepdims=True))
+        tiny = np.finfo(dtype).tiny
+        raw = raw / np.where(norm < tiny, np.ones_like(norm), norm)
+    return np.ascontiguousarray(raw.T)
+
+
 def num_frames(n_samples: int, n_fft: int = FFT_LEN, hop: int = HOP_SIZE) -> int:
     """Frame count of the reference STFT (chroma.py:49-54): the wav is
     left-padded with ``n_fft/2`` zeros, then ``int(((N - L)/H) + 1)`` hops

@@ -42,6 +42,7 @@ from real_time_audio_sync_tpu.features.chroma import (
     chroma_from_samples,
     frame_span,
     frontend_constants,
+    host_chroma_frames,
 )
 from real_time_audio_sync_tpu.models.online_core import StatusPolling
 from real_time_audio_sync_tpu.models.wtw import SampleFIFO, _window_cost
@@ -68,6 +69,23 @@ def build_span(fifo, k: int, k_block: int, hop: int, fft: int, dtype) -> np.ndar
     return span
 
 
+def host_chroma_block(fifo, k: int, k_block: int, hop: int, fft: int,
+                      dtype) -> np.ndarray:
+    """Extract one block's (12, k_block) chroma columns ON THE HOST and
+    consume the block's k·hop samples (``transfer_dtype="chroma"``).
+
+    Same span/consumption semantics as :func:`build_span`; columns past the
+    ``k`` valid ones come from the zero pad and are masked in-program by
+    ``n_valid`` anyway.  Numerics: host ``np.fft.rfft`` vs the in-program
+    DFT matmuls — see :func:`~real_time_audio_sync_tpu.features.chroma.
+    host_chroma_frames`."""
+    span = build_span(fifo, k, k_block, hop, fft, dtype)
+    stride = span.strides[0]
+    frames = np.lib.stride_tricks.as_strided(
+        span, shape=(k_block, fft), strides=(hop * stride, stride))
+    return host_chroma_frames(frames, n_fft=fft)
+
+
 # scalar-state vector layout (int32[8])
 _W_CHROMA = 0  # columns appended so far
 _W_LIVE = 1  # live window origin (frames)
@@ -78,7 +96,7 @@ _W_FLAGS = 4  # bit0 = stopped, bit1 = path-buffer overflow
 
 def _make_block_body(f: int, w: int, hop_frames: int, k_pad: int,
                      backend: str, fft: int, hop: int, hoisted: bool = True,
-                     transfer_int16: bool = False):
+                     transfer: str = "float32"):
     """Build the (unjitted) block-step body: (live_dev, ref_dev, px, py, sc,
     samples, n_valid, m, n_cap, win, dft_cos, dft_sin, fb_t) →
     (live_dev, px, py, sc, status).  All shapes static; ``m`` (true reference
@@ -266,14 +284,22 @@ def _make_block_body(f: int, w: int, hop_frames: int, k_pad: int,
         # framing + feature extraction fused into the step program: ONE
         # dispatch per hop block, raw span in (each dispatch pays a relay
         # round-trip share on tunneled TPUs; each byte a bandwidth share)
-        if transfer_int16:
-            # int16 span shipped; decode to the engine dtype in-program.
-            # 1/32768 is a power of two, so for samples that are exact
-            # int16/32768 multiples (mono PCM16 sources) the round trip is
-            # bit-exact; otherwise quantization is <= 2^-16 amplitude.
-            samples = samples.astype(win.dtype) / np.float32(32768.0).astype(win.dtype)
-        frames = frame_span(samples, k_pad, fft, hop)
-        cols = _chroma_frames_impl(frames, win, dft_cos, dft_sin, fb_t, True)
+        if transfer == "chroma":
+            # host-extracted (f, k_pad) chroma columns shipped instead of a
+            # raw sample span — ~96x fewer H2D bytes (the multi-stream
+            # serving ceiling on bandwidth-limited links); the in-program
+            # frontend is skipped entirely.  See AsyncWTW.transfer_dtype for
+            # the numerics contract (host rfft vs device DFT matmul).
+            cols = samples
+        else:
+            if transfer == "int16":
+                # int16 span shipped; decode to the engine dtype in-program.
+                # 1/32768 is a power of two, so for samples that are exact
+                # int16/32768 multiples (mono PCM16 sources) the round trip is
+                # bit-exact; otherwise quantization is <= 2^-16 amplitude.
+                samples = samples.astype(win.dtype) / np.float32(32768.0).astype(win.dtype)
+            frames = frame_span(samples, k_pad, fft, hop)
+            cols = _chroma_frames_impl(frames, win, dft_cos, dft_sin, fb_t, True)
         if hoisted:
             live_dev, px, py, sc = body_hoisted(
                 live_dev, ref_dev, px, py, sc, cols, n_valid, m, n_cap)
@@ -297,16 +323,16 @@ def _make_block_body(f: int, w: int, hop_frames: int, k_pad: int,
 
 def _make_async_wtw_step(f: int, w: int, hop_frames: int, k_pad: int,
                          backend: str, fft: int, hop: int, hoisted: bool = True,
-                         transfer_int16: bool = False):
+                         transfer: str = "float32"):
     """Jitted solo block step over :func:`_make_block_body` (state donated)."""
     body = _make_block_body(f, w, hop_frames, k_pad, backend, fft, hop, hoisted,
-                            transfer_int16)
+                            transfer)
     return partial(jax.jit, donate_argnums=(0, 2, 3, 4))(body)
 
 
 def _make_multi_wtw_step(f: int, w: int, hop_frames: int, k_pad: int,
                          backend: str, fft: int, hop: int, hoisted: bool = True,
-                         transfer_int16: bool = False):
+                         transfer: str = "float32"):
     """Jitted B-stream block step: the body vmapped over the stream axis of
     every per-stream argument (frontend constants are shared).  One device
     dispatch advances all B streams; per-frame DP state stays stream-local,
@@ -316,7 +342,7 @@ def _make_multi_wtw_step(f: int, w: int, hop_frames: int, k_pad: int,
     hoisting cuts the window-DP executions per block from k_pad to
     1+⌈(k_pad−1)/hop_frames⌉."""
     body = _make_block_body(f, w, hop_frames, k_pad, backend, fft, hop, hoisted,
-                            transfer_int16)
+                            transfer)
     vbody = jax.vmap(body, in_axes=(0,) * 9 + (None,) * 4)
     return partial(jax.jit, donate_argnums=(0, 2, 3, 4))(vbody)
 
@@ -343,7 +369,14 @@ class AsyncWTW(StatusPolling):
         # (e.g. the corpus' stereo-averaged wavs) quantizes at 2^-16
         # amplitude — inaudible, but can flip knife-edge DP ties, so it is
         # opt-in.
-        if transfer_dtype not in ("float32", "int16"):
+        # transfer_dtype="chroma": extract the 12-dim chroma columns on the
+        # HOST (np.fft.rfft) and ship those instead of the raw span — ~96x
+        # fewer H2D bytes (384 B vs 37 KB per 8-hop block), the decisive
+        # win where link bandwidth caps multi-stream aggregate throughput.
+        # Host rfft and the device DFT matmuls agree to ~1e-6 relative (not
+        # bit-identical), which can flip knife-edge DP ties — opt-in, path
+        # equality on real audio is tested empirically like int16.
+        if transfer_dtype not in ("float32", "int16", "chroma"):
             raise ValueError(f"unknown transfer_dtype {transfer_dtype!r}")
         self.transfer_dtype = transfer_dtype
         # f32 is the production dtype; f64 is for CPU parity tests where the
@@ -420,7 +453,7 @@ class AsyncWTW(StatusPolling):
             f, self._w, self._hop_frames, self.k_block,
             window_backend, self.fft_len, self.hop_size,
             hoisted=block_impl == "hoisted",
-            transfer_int16=self.transfer_dtype == "int16",
+            transfer=self.transfer_dtype,
         )
         self._frontend_consts = frontend_constants(self.fft_len, self.fs, self.dtype)
 
@@ -433,12 +466,17 @@ class AsyncWTW(StatusPolling):
         return 0 if n < self.fft_len else (n - self.fft_len) // self.hop_size + 1
 
     def _dispatch(self, k: int) -> None:
-        """Ship the block's contiguous sample span and launch one step
-        (framing and feature extraction happen inside the step program)."""
-        span = build_span(self.buf, k, self.k_block, self.hop_size,
-                          self.fft_len, self.dtype)
-        if self.transfer_dtype == "int16":
-            span = np.clip(np.round(span * 32768.0), -32768, 32767).astype(np.int16)
+        """Ship the block's payload (raw sample span, or host-extracted
+        chroma columns for ``transfer_dtype="chroma"``) and launch one
+        step."""
+        if self.transfer_dtype == "chroma":
+            span = host_chroma_block(self.buf, k, self.k_block, self.hop_size,
+                                     self.fft_len, self.dtype)
+        else:
+            span = build_span(self.buf, k, self.k_block, self.hop_size,
+                              self.fft_len, self.dtype)
+            if self.transfer_dtype == "int16":
+                span = np.clip(np.round(span * 32768.0), -32768, 32767).astype(np.int16)
         px, py, sc = self._state
         self._live_dev, px, py, sc, status = self._step(
             self._live_dev, self._ref_dev, px, py, sc, span, np.int32(k),

@@ -31,7 +31,11 @@ import numpy as np
 from jax.sharding import Mesh
 
 from real_time_audio_sync_tpu.config import WTWParams
-from real_time_audio_sync_tpu.features.chroma import chroma_from_samples, frontend_constants
+from real_time_audio_sync_tpu.features.chroma import (
+    chroma_from_samples,
+    frontend_constants,
+    host_chroma_frames,
+)
 from real_time_audio_sync_tpu.models.wtw import SampleFIFO
 from real_time_audio_sync_tpu.models.wtw_async import (
     _W_CHROMA,
@@ -72,9 +76,11 @@ class MultiStreamWTW:
         self.params = WTWParams.from_any(params)
         self.k_block = int(k_block)
         # int16 spans halve the H2D bytes that cap multi-stream aggregate
-        # throughput (B x span per block); see AsyncWTW.transfer_dtype for
-        # the exactness contract
-        if transfer_dtype not in ("float32", "int16"):
+        # throughput (B x span per block); "chroma" ships host-extracted
+        # 12-dim columns instead of raw samples (~96x fewer bytes — the
+        # bandwidth ceiling remover on tunneled links); see
+        # AsyncWTW.transfer_dtype for the exactness contracts
+        if transfer_dtype not in ("float32", "int16", "chroma"):
             raise ValueError(f"unknown transfer_dtype {transfer_dtype!r}")
         self.transfer_dtype = transfer_dtype
         self.dtype = np.dtype(dtype)
@@ -138,7 +144,7 @@ class MultiStreamWTW:
         self._step = _make_multi_wtw_step(
             f, self._w, self._hop_frames, self.k_block, "scan",
             self.fft_len, self.hop_size,
-            transfer_int16=self.transfer_dtype == "int16",
+            transfer=self.transfer_dtype,
         )
         self._frontend_consts = frontend_constants(self.fft_len, 22050, self.dtype)
 
@@ -164,6 +170,24 @@ class MultiStreamWTW:
         return 0 if n < self.fft_len else (n - self.fft_len) // self.hop_size + 1
 
     def _spans(self, ks: np.ndarray) -> np.ndarray:
+        """The block's H2D payload: (B, span) raw samples, or (B, 12,
+        k_block) host-extracted chroma columns for ``transfer_dtype=
+        "chroma"`` (one batched rfft over all B·k_block frames)."""
+        if self.transfer_dtype == "chroma":
+            frames = np.zeros((self.b, self.k_block, self.fft_len), self.dtype)
+            for i, k in enumerate(ks):
+                if k > 0:
+                    span = build_span(self.bufs[i], int(k), self.k_block,
+                                      self.hop_size, self.fft_len, self.dtype)
+                    stride = span.strides[0]
+                    frames[i] = np.lib.stride_tricks.as_strided(
+                        span, shape=(self.k_block, self.fft_len),
+                        strides=(self.hop_size * stride, stride))
+            cols = host_chroma_frames(
+                frames.reshape(self.b * self.k_block, self.fft_len),
+                n_fft=self.fft_len)  # (12, B*k_block)
+            return np.ascontiguousarray(
+                cols.reshape(12, self.b, self.k_block).transpose(1, 0, 2))
         spans = np.zeros((self.b, self._span_len), self.dtype)
         for i, k in enumerate(ks):
             if k > 0:

@@ -154,6 +154,17 @@ for ch in [lq[:first]] + [lq[first + i * rest : first + (i + 1) * rest] for i in
     af32.insert(ch)
 a16.flush(); af32.flush()
 assert a16.path == af32.path, "int16-span path mismatch on int16-exact audio"
+
+# chroma transfer (host rfft vs on-device DFT matmul): empirically equal or
+# near-equal committed paths on the real pair — allow only knife-edge tie
+# flips (docs/PARITY.md deviation 10)
+ach = AsyncWTW("/root/reference/Songs/chopin/chopin_rubinstein_20b.wav", wp, k_block=8, transfer_dtype="chroma")
+for ch in [lq[:first]] + [lq[first + i * rest : first + (i + 1) * rest] for i in range(n_rest)]:
+    ach.insert(ch)
+ach.flush()
+assert len(ach.path) == len(af32.path), "chroma-transfer path length mismatch"
+ndiff = sum(1 for x, y in zip(ach.path, af32.path) if x != y)
+assert ndiff <= max(2, len(af32.path) // 100), f"chroma-transfer paths diverge: {{ndiff}} pts"
 print("TPU_PARITY_PASS")
 """
 

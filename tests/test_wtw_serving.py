@@ -163,6 +163,45 @@ def test_int16_transfer_matches_float32_exact_source():
     assert ms_f.paths() == ms_i.paths() == [a.path, a.path]
 
 
+def test_chroma_transfer_matches_float32_paths():
+    """transfer_dtype='chroma' ships host-extracted columns (~96x fewer H2D
+    bytes).  Host rfft vs the in-program DFT matmuls differ in low-order
+    bits, so path equality is EMPIRICAL, not guaranteed (docs/PARITY.md
+    deviation 10) — on this synthetic audio and the real pair
+    (tests/test_tpu_hardware.py) the committed paths agree; mode-internal
+    parity (multi == solo, both chroma) is exact by construction."""
+    rng = np.random.default_rng(5)
+    fs = 22050
+    n = int(5.0 * fs)
+    t = np.arange(n) / fs
+    ref = (0.3 * np.sin(2 * np.pi * 440 * t * (1 + 0.01 * np.sin(t)))
+           + 0.05 * rng.standard_normal(n)).astype(np.float32)
+    live = (0.3 * np.sin(2 * np.pi * 440 * t * 1.02)
+            + 0.05 * rng.standard_normal(n)).astype(np.float32)
+    params = {"fft_len": 4096, "hop_size": 2048,
+              "dtw_win_size": 4096 * 3, "dtw_hop_size": 2048 * 3}
+
+    a = AsyncWTW(ref, params, k_block=4)
+    b = AsyncWTW(ref, params, k_block=4, transfer_dtype="chroma")
+    for chunk in np.array_split(live, 16):
+        a.insert(chunk)
+        b.insert(chunk)
+    a.flush(); b.flush()
+    assert len(a.path) > 10
+    assert a.path == b.path
+    assert a.pointers == b.pointers
+
+    # multi-stream chroma mode is bit-consistent with the solo chroma engine
+    # (same host rfft, same vmapped window DP)
+    ms = MultiStreamWTW([ref, ref], params, k_block=4,
+                        transfer_dtype="chroma")
+    for chunk in np.array_split(live, 16):
+        ms.insert([chunk, chunk])
+    ms.flush()
+    assert ms.paths() == [b.path, b.path]
+    assert ms.pointers() == [b.pointers, b.pointers]
+
+
 def test_transfer_dtype_validation():
     params = {"fft_len": 4096, "hop_size": 2048,
               "dtw_win_size": 4096 * 3, "dtw_hop_size": 2048 * 3}
