@@ -572,6 +572,30 @@ def main() -> int:
         log(f"multi-stream WTW chroma transfer (B={B}): {mwc*1e3:.0f} ms -> "
             f"aggregate RTF {B*audio_sec/mwc:.0f}x ({mw/mwc:.2f}x the f32 spans; "
             f"host-extracted columns, ~96x fewer H2D bytes)")
+
+        # serving capacity: with chroma transfer the link ceiling is gone
+        # and the binding cost became the HOST rfft over B*k_block frames
+        # per dispatch — now through scipy's native-f32 pocketfft (~5x
+        # numpy's internally-f64 transform, features/chroma.py).  Measured
+        # per-stream RTF with scipy: B=64 19.8x, B=128 12.7x, B=256 5.4x
+        # (numpy hit 0.7x at B=256 — below real time)
+        B64 = 64
+
+        def run_wtw_b64():
+            ms = MultiStreamWTW([REF_WAV] * B64, wtw_params, k_block=8,
+                                transfer_dtype="chroma")
+            t0 = time.perf_counter()
+            for s in range(0, len(live_raw), 8 * 2048):
+                ms.insert([live_raw[s : s + 8 * 2048]] * B64)
+            ms.flush()
+            return time.perf_counter() - t0, ms
+
+        run_wtw_b64()  # compile
+        (w64, ms64) = min((run_wtw_b64() for _ in range(2)), key=lambda x: x[0])
+        n64 = len(ms64.paths()[0])
+        log(f"multi-stream WTW capacity (B={B64}, chroma transfer): {w64*1e3:.0f} ms -> "
+            f"aggregate RTF {B64*audio_sec/w64:.0f}x ({audio_sec/w64:.1f}x per stream, "
+            f"path0 {n64} pts)")
     except Exception as e:
         log(f"WTW diagnostic skipped ({e})")
 

@@ -373,9 +373,11 @@ class AsyncWTW(StatusPolling):
         # HOST (np.fft.rfft) and ship those instead of the raw span — ~96x
         # fewer H2D bytes (384 B vs 37 KB per 8-hop block), the decisive
         # win where link bandwidth caps multi-stream aggregate throughput.
-        # Host rfft and the device DFT matmuls agree to ~1e-6 relative (not
-        # bit-identical), which can flip knife-edge DP ties — opt-in, path
-        # equality on real audio is tested empirically like int16.
+        # Host rfft and the device DFT matmuls agree to ~1e-6 on CPU and
+        # ~1e-3 on real TPU (default MXU matmul precision; measured on the
+        # chopin pair) — not bit-identical either way, which can flip
+        # knife-edge DP ties — opt-in, path equality on real audio is
+        # tested empirically like int16.
         if transfer_dtype not in ("float32", "int16", "chroma"):
             raise ValueError(f"unknown transfer_dtype {transfer_dtype!r}")
         self.transfer_dtype = transfer_dtype

@@ -273,6 +273,7 @@ class WTWFollower:
         log_dir: Optional[str] = None,
         dtype=np.float32,
         engine: str = "wtw",
+        transfer_dtype: str = "float32",
     ):
         # live-app window sizes (wtw_live.py:106)
         self.params = dict(
@@ -281,16 +282,20 @@ class WTWFollower:
         )
         self.ref_wav = ref_wav
         if engine == "wtw":
+            if transfer_dtype != "float32":
+                raise ValueError("transfer_dtype applies to engine='wtw_async' only")
             from real_time_audio_sync_tpu.models.wtw import WTW
 
             self.dtw = WTW(ref_wav, self.params, dtype=dtype)
         elif engine == "wtw_async":
             # device-resident stepper: inserts dispatch asynchronously and
             # the follow position comes from the polled status vector, so
-            # the audio loop never blocks on the device
+            # the audio loop never blocks on the device.  transfer_dtype
+            # "int16"/"chroma" cut the per-hop H2D bytes (AsyncWTW docs).
             from real_time_audio_sync_tpu.models.wtw_async import AsyncWTW
 
-            self.dtw = AsyncWTW(ref_wav, self.params, dtype=dtype)
+            self.dtw = AsyncWTW(ref_wav, self.params, dtype=dtype,
+                                transfer_dtype=transfer_dtype)
         else:
             raise ValueError(f"unknown WTW follower engine {engine!r}")
         self.engine_name = engine

@@ -296,6 +296,28 @@ def test_wtw_follower_async_engine_matches_host(chopin_pair, tmp_path):
     assert refs and max(refs) > 100  # positions surfaced from status polls
 
 
+def test_wtw_follower_transfer_dtype_plumbing(chopin_pair, tmp_path):
+    """transfer_dtype reaches the AsyncWTW engine (chroma-column H2D mode)
+    and is rejected for the host engine, which has no transfer path."""
+    from real_time_audio_sync_tpu.streaming.runtime import WTWFollower
+
+    ref_wav, live_wav = chopin_pair
+    with pytest.raises(ValueError, match="wtw_async"):
+        WTWFollower(ref_wav, live_wav, engine="wtw", transfer_dtype="chroma")
+
+    f = WTWFollower(ref_wav, live_wav, log_dir=str(tmp_path),
+                    engine="wtw_async", transfer_dtype="chroma")
+    assert f.dtw.transfer_dtype == "chroma"
+    f.start()
+    for buf in SimulatedMic(live_wav, buffer_size=4096):
+        f.receive_audio(buf)
+        if f.stopped:
+            break
+    f.dtw.flush()
+    f.stop()
+    assert len(f.path) > 100  # the chroma-mode engine committed a real path
+
+
 def test_app_loop_terminate_funcs_run_on_crash():
     from real_time_audio_sync_tpu.streaming.core import AppLoop, register_terminate_func, run
 
