@@ -127,3 +127,37 @@ def test_frame_span_gather_matches_reshape_and_numpy():
     want2 = np.stack([x2[i * hop2 : i * hop2 + n_fft] for i in range(t2)])
     got_gather = np.asarray(frame_span(jnp.asarray(x2), t2, n_fft, hop2))
     np.testing.assert_array_equal(got_gather, want2)
+
+
+def test_host_chroma_scipy_matches_numpy_reference():
+    """host_chroma_frames routes f32 through scipy's native-f32 pocketfft
+    (the multi-stream chroma-transfer hot path); its columns must stay
+    within float32 rounding of the previous np.fft.rfft pipeline, and the
+    f64 parity dtype must still go through np.fft exactly."""
+    from real_time_audio_sync_tpu.features.chroma import (
+        host_chroma_frames,
+        host_frontend_constants,
+    )
+
+    rng = np.random.default_rng(11)
+    frames = rng.standard_normal((24, 4096)).astype(np.float32)
+
+    def np_reference(fr):
+        dtype = fr.dtype
+        win, fb_t = host_frontend_constants(4096, 22050, dtype)
+        wf = fr * win[None, :]
+        spec = np.fft.rfft(wf, axis=1)
+        power = spec.real.astype(dtype) ** 2 + spec.imag.astype(dtype) ** 2
+        raw = power @ fb_t
+        norm = np.sqrt(np.sum(raw * raw, axis=1, keepdims=True))
+        tiny = np.finfo(dtype).tiny
+        return np.ascontiguousarray(
+            (raw / np.where(norm < tiny, np.ones_like(norm), norm)).T)
+
+    got32 = host_chroma_frames(frames)
+    assert got32.dtype == np.float32
+    np.testing.assert_allclose(got32, np_reference(frames), atol=2e-6)
+
+    frames64 = frames.astype(np.float64)
+    np.testing.assert_array_equal(host_chroma_frames(frames64),
+                                  np_reference(frames64))
