@@ -601,8 +601,9 @@ def main() -> int:
 
     # --- 7c. fused multi-stream OTW serving: B concurrent followers, one
     # Pallas launch per hop block, O(c²) banded state per stream
-    # (parallel/serving.FusedMultiStreamFollower; B=256 at N=1900 measured
-    # separately at aggregate RTF 1574x / 6.1x per stream, docs/STATUS.md)
+    # (parallel/serving.FusedMultiStreamFollower; capacity at N=1900
+    # measured separately: B=256 24.5x / B=512 11.6x / B=1024 4.9x RT per
+    # stream, paths bit-equal to solo — docs/STATUS.md)
     try:
         from real_time_audio_sync_tpu.parallel import FusedMultiStreamFollower
 
