@@ -656,6 +656,31 @@ def main() -> int:
         run_fused_stream5()  # compile
         s5 = min(run_fused_stream5() for _ in range(2))
         log(f"fused streaming at N=1900: {s5/live5.shape[1]*1e3:.3f} ms/frame -> RTF {audio5/s5:.0f}x")
+
+        # HOUR-SCALE: the long-reference kernel (HBM ref window + sliding
+        # live window + host-drained path deltas, ops/pallas_otw.py Driver
+        # 2b) follows a 60-minute reference on one chip — impossible for
+        # the whole-sequence VMEM layout (>16 MB) and for any dense-acc
+        # engine incl. the reference itself ((2N,N) f64 ≈ 24 TB at N=39k)
+        refH = np.tile(ref, (1, 103)).astype(np.float32)  # 39,140 frames
+        liveH = np.tile(live, (1, 103)).astype(np.float32)
+        audioH = liveH.shape[1] * HOP_SEC
+
+        def run_hour():
+            eng = FusedStreamingEngine(refH, PARAMS, k_block=8)
+            assert eng.long_ref  # auto-engaged above _LONG_REF_THRESHOLD
+            t0 = time.perf_counter()
+            for s in range(0, liveH.shape[1], 8):
+                if eng.insert_block_nowait(liveH[:, s : s + 8]) == "stop":
+                    break
+            eng.flush()
+            return time.perf_counter() - t0, eng
+
+        wH, engH = run_hour()  # cached compile; single run (20 s wall)
+        pH = engH.path_array
+        log(f"hour-long reference (N={refH.shape[1]}, {refH.shape[1]*HOP_SEC/60:.0f} min): "
+            f"long-ref kernel streams {audioH/60:.0f} min of live audio in {wH:.1f} s "
+            f"-> RTF {audioH/wH:.0f}x, {len(pH)} path pts, reached ref frame {pH[-1][1]}")
     except Exception as e:
         log(f"fused OTW kernel diagnostic skipped ({e})")
 

@@ -43,10 +43,20 @@ from real_time_audio_sync_tpu.ops.pallas_otw import (
     _S_PREV,
     _S_LASTX,
     _S_LASTY,
+    _long_geometry,
     _pallas_insert_block,
+    _pallas_insert_block_long,
     _round_up,
     _SUBLANES,
 )
+
+# references longer than this stream through the long-reference kernel by
+# default: the standard kernel's whole-sequence VMEM buffers (ref (c+N)·512 B
+# + live (c+2N)·512 B) approach the ~16 MB VMEM budget near N ≈ 7.5k frames
+_LONG_REF_THRESHOLD = 6000
+# pending path-delta launches are folded into one device-side stack at this
+# size, so draining costs one relay read per _DELTA_STACK launches
+_DELTA_STACK = 64
 
 
 class FusedStreamingEngine(StatusPolling):
@@ -54,7 +64,7 @@ class FusedStreamingEngine(StatusPolling):
 
     dtype = np.dtype(np.float32)  # the kernel is f32-only
 
-    def __init__(self, ref, params, cfg_overrides: Optional[dict] = None, k_block: int = 8, interpret: bool = False):
+    def __init__(self, ref, params, cfg_overrides: Optional[dict] = None, k_block: int = 8, interpret: bool = False, long_ref: Optional[bool] = None):
         # interpret=True: Pallas interpreter mode (CPU parity tests) — the
         # interpreter does not alias the in/out state buffers, so the kernel
         # carries state across with explicit copies there
@@ -79,11 +89,12 @@ class FusedStreamingEngine(StatusPolling):
         w_sub = _round_up(c + 1, _SUBLANES)
         self._w_shape = (w_sub, w_lane)
 
-        ref_t = np.zeros((_round_up(c + n + w_lane + 8, _SUBLANES), _LANES), np.float32)
-        ref_t[c : c + n, :f] = ref.T
-        self.ref_t = jax.device_put(jnp.asarray(ref_t))
+        # long-reference mode (ops/pallas_otw.py Driver 2b): hour-scale
+        # references with O(c) VMEM — ref streamed from HBM, live history a
+        # sliding window, path committed through per-launch delta buffers
+        # accumulated host-side
+        self.long_ref = bool(n >= _LONG_REF_THRESHOLD if long_ref is None else long_ref)
 
-        p_pad = _round_up(self.cap + n + 16, _LANES)
         scalars = np.zeros(_N_SCALARS, np.int32)
         scalars[_S_RC] = self.cfg.run_count_init
         scalars[_S_PREV] = PREV_NONE
@@ -91,15 +102,41 @@ class FusedStreamingEngine(StatusPolling):
         scalars[_S_LASTY] = -1
         scalars[_S_FIRST] = 1
         scalars[_S_DIR] = BOTH
-        self._state = jax.device_put(
-            (
-                jnp.full(self._w_shape, self.cfg.sentinel, jnp.float32),  # window
-                jnp.zeros((_round_up(c + self.cap + w_sub + 8, _SUBLANES), _LANES), jnp.float32),
-                jnp.zeros((p_pad,), jnp.int32),  # path x
-                jnp.zeros((p_pad,), jnp.int32),  # path y
-                jnp.asarray(scalars),
+
+        if self.long_ref:
+            l_win, l_pad, r_win, _ = _long_geometry(self.cfg, c, w_lane, self.k_block)
+            ref_t = np.zeros((_round_up(c + n + r_win + 8, _SUBLANES), _LANES), np.float32)
+            ref_t[c : c + n, :f] = ref.T
+            self.ref_t = jax.device_put(jnp.asarray(ref_t))
+            self._state = jax.device_put(
+                (
+                    jnp.full(self._w_shape, self.cfg.sentinel, jnp.float32),
+                    jnp.zeros((l_pad, _LANES), jnp.float32),  # live window
+                    jnp.asarray(scalars),
+                )
             )
-        )
+            # per-launch path deltas pending host accumulation: entries are
+            # either (status, dx, dy) handles or one stacked
+            # (M, 8 + 2·d_pad) array folding M launches (_DELTA_STACK)
+            self._deltas: list = []
+            self._host_px: list = []  # drained path (host, append-only)
+            self._host_py: list = []
+            self._drained_plen = 0
+        else:
+            ref_t = np.zeros((_round_up(c + n + w_lane + 8, _SUBLANES), _LANES), np.float32)
+            ref_t[c : c + n, :f] = ref.T
+            self.ref_t = jax.device_put(jnp.asarray(ref_t))
+
+            p_pad = _round_up(self.cap + n + 16, _LANES)
+            self._state = jax.device_put(
+                (
+                    jnp.full(self._w_shape, self.cfg.sentinel, jnp.float32),  # window
+                    jnp.zeros((_round_up(c + self.cap + w_sub + 8, _SUBLANES), _LANES), jnp.float32),
+                    jnp.zeros((p_pad,), jnp.int32),  # path x
+                    jnp.zeros((p_pad,), jnp.int32),  # path y
+                    jnp.asarray(scalars),
+                )
+            )
         self._init_status_polling()  # shared lazy status-vector machinery
         # adaptive per-frame coalescing (see feed()): frames held only while
         # the pipeline is saturated, never waiting for future input
@@ -138,13 +175,61 @@ class FusedStreamingEngine(StatusPolling):
         block = np.zeros((_round_up(self.k_block, _SUBLANES), _round_up(self.f, _SUBLANES)), np.float32)
         block[:k, : self.f] = cols.T
         lens = np.asarray([self.cap, self.n, k, 0], np.int32)
-        w, live_t, px, py, sc = self._state
-        *self._state, status = _pallas_insert_block(
-            lens, self.ref_t, block, w, live_t, px, py, sc, self.cfg, self.k_block,
-            interpret=self.interpret,
-        )
-        self._state = tuple(self._state)
+        if self.long_ref:
+            w, live_win, sc = self._state
+            w, live_win, sc, status, dx, dy = _pallas_insert_block_long(
+                lens, self.ref_t, block, w, live_win, sc, self.cfg, self.k_block,
+                interpret=self.interpret,
+            )
+            self._state = (w, live_win, sc)
+            self._deltas.append((status, dx, dy))
+            self._fold_deltas()
+        else:
+            w, live_t, px, py, sc = self._state
+            *self._state, status = _pallas_insert_block(
+                lens, self.ref_t, block, w, live_t, px, py, sc, self.cfg, self.k_block,
+                interpret=self.interpret,
+            )
+            self._state = tuple(self._state)
         self._swap_status(status, k)
+
+    # -- long-reference path-delta machinery ---------------------------------
+
+    def _fold_deltas(self) -> None:
+        """Fold the trailing run of unstacked (status, dx, dy) triples into
+        ONE device-side (M, 8 + 2·d_pad) array once _DELTA_STACK have
+        accumulated — an async dispatch, never a read — so draining an
+        hour-long session costs one relay read per _DELTA_STACK launches."""
+        tail = [d for d in self._deltas[-_DELTA_STACK:] if isinstance(d, tuple)]
+        if len(self._deltas) < _DELTA_STACK or len(tail) < _DELTA_STACK:
+            return
+        self._stack_tail(tail)
+
+    def _stack_tail(self, tail) -> None:
+        sts = jnp.stack([t[0] for t in tail])
+        dxs = jnp.stack([t[1] for t in tail])
+        dys = jnp.stack([t[2] for t in tail])
+        stacked = jnp.concatenate([sts, dxs, dys], axis=1)
+        del self._deltas[len(self._deltas) - len(tail):]
+        self._deltas.append(stacked)
+
+    def _drain_deltas(self) -> None:
+        """Accumulate every pending launch's committed path points into the
+        host-side path (blocks on in-flight launches)."""
+        for entry in self._deltas:
+            if isinstance(entry, tuple):
+                rows = np.concatenate([np.asarray(a) for a in entry])[None, :]
+            else:
+                rows = np.asarray(entry)
+            d_pad = (rows.shape[1] - 8) // 2
+            for row in rows:
+                plen_end = int(row[1])
+                n_new = plen_end - self._drained_plen
+                if n_new > 0:
+                    self._host_px.append(row[8 : 8 + n_new].astype(np.int32))
+                    self._host_py.append(row[8 + d_pad : 8 + d_pad + n_new].astype(np.int32))
+                    self._drained_plen = plen_end
+        self._deltas.clear()
 
     # -- adaptive per-frame streaming ----------------------------------------
 
@@ -199,6 +284,14 @@ class FusedStreamingEngine(StatusPolling):
 
     @property
     def path_array(self):
+        if self.long_ref:
+            self._drain_deltas()
+            if not self._host_px:
+                return np.zeros((0, 2), np.int32)
+            return np.stack(
+                [np.concatenate(self._host_px), np.concatenate(self._host_py)],
+                axis=1,
+            )
         px, py, sc = jax.device_get((self._state[2], self._state[3], self._state[4]))
         plen = int(sc[_S_PLEN])
         return np.stack([px[:plen], py[:plen]], axis=1)

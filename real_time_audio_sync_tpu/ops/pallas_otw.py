@@ -113,13 +113,21 @@ def _first_min(vals, valid, iota):
 
 
 def _build_ops(cfg: OnlineConfig, c: int, w_sub: int, w_lane: int,
-               w_ref, ref_ref, live_ref, eye_ref, path_store):
+               w_ref, ref_ref, live_ref, eye_ref, path_store,
+               live_off=0, ref_off=0):
     """Shared band primitives over the window/feature refs.
 
     ``path_store(plen, x, y)`` commits one path point — a callback so the
     same body serves 1-D SMEM path buffers (solo drivers) and row-shaped
     (1, P) buffers (the batched driver, whose squeezed-batch SMEM blocks
-    must keep their last two dims equal to the array's)."""
+    must keep their last two dims equal to the array's).
+
+    ``live_off``/``ref_off`` (long-reference mode): the feature refs are
+    sliding VMEM *windows* instead of whole transposed sequences — virtual
+    row ``v`` of the standard layout lives at physical row ``v - off``.
+    The offsets are launch-constant scalars (the long driver realigns the
+    windows in its prologue), so every access below subtracts them inside
+    ``pl.ds``; the default 0 reproduces the whole-buffer layout verbatim."""
     sentinel = np.float32(cfg.sentinel)
     inf = np.float32(np.inf)
     two = np.float32(2.0)
@@ -142,8 +150,8 @@ def _build_ops(cfg: OnlineConfig, c: int, w_sub: int, w_lane: int,
 
     def row_cost(t, j):
         """(1, w_lane): cost(live t, ref j-c+b) on lanes b."""
-        live_row = live_ref[pl.ds(t + c, 1), :]  # (1, 128)
-        ref_win = ref_ref[pl.ds(j, w_lane), :]  # (w_lane, 128), row b ↔ ref j-c+b
+        live_row = live_ref[pl.ds(t + c - live_off, 1), :]  # (1, 128)
+        ref_win = ref_ref[pl.ds(j - ref_off, w_lane), :]  # (w_lane, 128), row b ↔ ref j-c+b
         if cfg.euclidean:
             d = ref_win - live_row
             s = jnp.sum(d * d, axis=1, keepdims=True)  # (w_lane, 1)
@@ -153,8 +161,8 @@ def _build_ops(cfg: OnlineConfig, c: int, w_sub: int, w_lane: int,
 
     def col_cost(t, j):
         """(w_sub, 1): cost(live t-c+a, ref j) on sublanes a."""
-        live_win = live_ref[pl.ds(t, w_sub), :]  # (w_sub, 128), row a ↔ live t-c+a
-        ref_row = ref_ref[pl.ds(j + c, 1), :]  # (1, 128)
+        live_win = live_ref[pl.ds(t - live_off, w_sub), :]  # (w_sub, 128), row a ↔ live t-c+a
+        ref_row = ref_ref[pl.ds(j + c - ref_off, 1), :]  # (1, 128)
         if cfg.euclidean:
             d = live_win - ref_row
             return jnp.sqrt(jnp.sum(d * d, axis=1, keepdims=True))
@@ -254,8 +262,8 @@ def _build_ops(cfg: OnlineConfig, c: int, w_sub: int, w_lane: int,
 
     def eval_origin():
         """acc[0,0] = cost(0,0) at window cell (c, c) (otw_eran.py:223-225)."""
-        lv0 = live_ref[pl.ds(c, 1), :]
-        rf0 = ref_ref[pl.ds(c, 1), :]
+        lv0 = live_ref[pl.ds(c - live_off, 1), :]
+        rf0 = ref_ref[pl.ds(c - ref_off, 1), :]
         if cfg.euclidean:
             c00 = jnp.sqrt(jnp.sum((lv0 - rf0) * (lv0 - rf0)))
         else:
@@ -752,6 +760,239 @@ def _pallas_insert_block(lens, ref_t_pad, cols, w, live_t, path_x, path_y, scala
         input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3, 8: 4},
         interpret=interpret,
     )(lens, ref_t_pad, cols, jnp.eye(w_lane, dtype=jnp.float32), w, live_t, path_x, path_y, scalars)
+
+
+# ---------------------------------------------------------------------------
+# Driver 2b: LONG-REFERENCE streaming inserts — O(c) VMEM regardless of N
+# ---------------------------------------------------------------------------
+#
+# The standard insert kernel keeps the whole transposed reference and the
+# whole 2N-capacity live history in VMEM, which caps the reference length
+# near N ≈ 7.5k frames (~12 minutes; ref (c+N)·512 B + live (c+2N)·512 B
+# against ~16 MB of VMEM) — an hour-long concert (N ≈ 39k) cannot compile.
+# This driver removes the cap by exploiting the band locality the window
+# design already proves (rows ≤ t−c / cols ≤ j−c are never read again):
+#
+# - the reference stays in HBM (`pl.ANY`); a prologue DMA pulls the
+#   r_win-row slice [j₀, j₀+r_win) into a VMEM scratch window (~96 KB),
+#   which covers every ref access a k_block-insert launch can make
+#   (j advances ≤ k_block·loop_iters);
+# - the live history is a sliding VMEM window of l_win rows carried across
+#   launches via aliasing; the prologue shifts it so physical row 0 is
+#   virtual row t₀ (two static-size DMAs through a stage buffer; the shift
+#   distance is dynamic but ≤ k_block).  Scalar slot _S_LIVE_BASE carries
+#   the window base between launches;
+# - committed path points land in a small per-launch SMEM *delta* buffer
+#   (indexed plen − plen₀) instead of a device-resident full-path buffer
+#   whose SMEM footprint would scale with N; the HOST accumulates deltas
+#   in launch order (models/fused_streaming.py drains them through the
+#   existing status machinery).
+#
+# _S_LIVE_BASE aside, state layout and the alignment recurrence are exactly
+# the standard kernel's — _build_ops is reused with live_off/ref_off window
+# offsets, so committed paths are bit-identical (tested interpret-mode vs
+# the XLA engine and on hardware vs the standard kernel).
+
+_S_LIVE_BASE = 11  # scalar slot: virtual row index of live-window phys row 0
+
+
+def _long_geometry(cfg: OnlineConfig, c: int, w_lane: int, k_block: int):
+    """(l_win, l_pad, r_win, d_pad) — static window/buffer sizes shared by
+    the kernel, the driver and the engine's state allocation."""
+    l_win = _round_up(c + k_block + 16, _SUBLANES)
+    max_delta = _round_up(k_block + 8, _SUBLANES)
+    r_win = _round_up(w_lane + k_block * cfg.loop_iters + 16, _SUBLANES)
+    d_pad = k_block * cfg.loop_iters + 8
+    return l_win, l_win + max_delta, r_win, d_pad
+
+
+def _make_insert_kernel_long(cfg: OnlineConfig, c: int, w_sub: int, w_lane: int,
+                             k_block: int, l_win: int, r_win: int):
+    def kernel(
+        lens_ref,  # SMEM (4,): [live_cap, ref_len, n_valid, 0]
+        ref_hbm_ref,  # ANY/HBM ref^T (c leading pad rows + r_win trailing pad)
+        cols_ref,  # VMEM (k_pad, 128): incoming chroma columns, transposed
+        eye_ref,  # VMEM identity
+        w_in, live_in, sc_in,  # aliased state (inputs)
+        w_ref, live_ref, sc_ref,  # aliased state (outputs)
+        status_ref,  # SMEM (8,) int32
+        dx_ref, dy_ref,  # SMEM (d_pad,) int32: this launch's path delta
+        ref_win,  # VMEM scratch (r_win, 128): ref window [j0, j0+r_win)
+        stage,  # VMEM scratch (l_win, 128): live-window shift stage
+        sem_ref, sem_in, sem_out,  # DMA semaphores
+    ):
+        for _s in range(_N_SCALARS):
+            sc_ref[_s] = sc_in[_s]
+        live_cap = lens_ref[0]
+        ref_len = lens_ref[1]
+        n_valid = lens_ref[2]
+        t0 = sc_ref[_S_T]
+        j0 = sc_ref[_S_J]
+        plen0 = sc_ref[_S_PLEN]
+        old_base = sc_ref[_S_LIVE_BASE]
+
+        # ref window load first — overlaps with the live-window shift
+        ref_base = j0
+        ref_dma = pltpu.make_async_copy(
+            ref_hbm_ref.at[pl.ds(ref_base, r_win)], ref_win, sem_ref)
+        ref_dma.start()
+
+        # live-window realign: retain virtual rows [t0, t0+l_win) at
+        # physical [0, l_win).  delta ≤ k_block (per-launch t advance), so
+        # delta + l_win ≤ l_pad always; rows ≥ l_win stay unspecified —
+        # every virtual row is written by its own insert before any read.
+        new_base = jnp.maximum(old_base, t0)
+        delta = new_base - old_base
+        in_dma = pltpu.make_async_copy(
+            live_in.at[pl.ds(delta, l_win)], stage, sem_in)
+        in_dma.start()
+        in_dma.wait()
+        out_dma = pltpu.make_async_copy(
+            stage, live_ref.at[pl.ds(0, l_win)], sem_out)
+        out_dma.start()
+        out_dma.wait()
+        sc_ref[_S_LIVE_BASE] = new_base
+
+        # defensive VMEM self-copy (same aliasing caveat as the standard
+        # kernel; no-ops when aliasing holds)
+        w_ref[:] = w_in[:]
+        ref_dma.wait()
+
+        def path_store(plen, x, y):
+            dx_ref[plen - plen0] = x
+            dy_ref[plen - plen0] = y
+
+        ops = _build_ops(cfg, c, w_sub, w_lane, w_ref, ref_win, live_ref,
+                         eye_ref, path_store, live_off=new_base, ref_off=ref_base)
+
+        def insert(k, carry):
+            t, j, rc, prev, plen, lastx, lasty, first, stopped, direction, overflow_in = carry
+            alive = (k < n_valid) & ~stopped
+            is_first = alive & first
+
+            @pl.when(is_first)
+            def _():
+                live_ref[pl.ds(c - new_base, 1), :] = cols_ref[pl.ds(k, 1), :]
+                ops["eval_origin"]()
+
+            first = first & ~is_first
+
+            is_normal = alive & ~is_first
+            t_new = jnp.where(is_normal, t + 1, t)
+            do_row = is_normal & (t_new < live_cap)
+
+            @pl.when(do_row)
+            def _():
+                live_ref[pl.ds(t_new + c - new_base, 1), :] = cols_ref[pl.ds(k, 1), :]
+                ops["row_update"](t_new, j)
+
+            def phase(_, ph):
+                j2, rc2, prev2, plen2, lx2, ly2, stopped2, active, d2 = ph
+                do_col = active & (d2 != ROW)
+                j_new = jnp.where(do_col, j2 + 1, j2)
+                new_stop = do_col & (j_new >= ref_len)
+                do_eval = do_col & ~new_stop
+
+                @pl.when(do_eval)
+                def _():
+                    ops["col_update"](t_new, j_new)
+
+                stopped3 = stopped2 | new_stop
+                do_dir = active & ~new_stop
+
+                def with_dir(args):
+                    j_new, rc2, prev2, plen2, lx2, ly2 = args
+                    d3, rc3, prev3, plen3, lx3, ly3 = ops["set_direction"](
+                        t_new, j_new, rc2, prev2, plen2, lx2, ly2
+                    )
+                    return j_new, rc3, prev3, plen3, lx3, ly3, d3
+
+                def no_dir(args):
+                    j_new, rc2, prev2, plen2, lx2, ly2 = args
+                    return j_new, rc2, prev2, plen2, lx2, ly2, d2
+
+                j_new, rc2, prev2, plen2, lx2, ly2, d3 = lax.cond(
+                    do_dir, with_dir, no_dir, (j_new, rc2, prev2, plen2, lx2, ly2)
+                )
+                active = do_dir & (d3 == COL)
+                return j_new, rc2, prev2, plen2, lx2, ly2, stopped3, active, d3
+
+            ph = (j, rc, prev, plen, lastx, lasty, stopped, do_row, direction)
+            j, rc, prev, plen, lastx, lasty, stopped, still_active, direction = lax.fori_loop(
+                0, cfg.loop_iters, phase, ph
+            )
+            overflow = overflow_in | still_active
+            return t_new, j, rc, prev, plen, lastx, lasty, first, stopped, direction, overflow
+
+        carry = (
+            sc_ref[_S_T], sc_ref[_S_J], sc_ref[_S_RC], sc_ref[_S_PREV],
+            sc_ref[_S_PLEN], sc_ref[_S_LASTX], sc_ref[_S_LASTY],
+            sc_ref[_S_FIRST] != 0, sc_ref[_S_STOPPED] != 0, sc_ref[_S_DIR],
+            sc_ref[_S_OVERFLOW] != 0,
+        )
+        t, j, rc, prev, plen, lastx, lasty, first, stopped, direction, overflow = lax.fori_loop(
+            0, k_block, insert, carry
+        )
+        sc_ref[_S_T] = t
+        sc_ref[_S_J] = j
+        sc_ref[_S_RC] = rc
+        sc_ref[_S_PREV] = prev
+        sc_ref[_S_PLEN] = plen
+        sc_ref[_S_LASTX] = lastx
+        sc_ref[_S_LASTY] = lasty
+        sc_ref[_S_FIRST] = first.astype(jnp.int32)
+        sc_ref[_S_STOPPED] = stopped.astype(jnp.int32)
+        sc_ref[_S_DIR] = direction
+        sc_ref[_S_OVERFLOW] = overflow.astype(jnp.int32)
+        status_ref[0] = stopped.astype(jnp.int32) | (overflow.astype(jnp.int32) << 1)
+        status_ref[1] = plen
+        status_ref[2] = lastx
+        status_ref[3] = lasty
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("cfg", "k_block", "interpret"),
+         donate_argnames=("w", "live_win", "scalars"))
+def _pallas_insert_block_long(lens, ref_t_hbm, cols, w, live_win, scalars,
+                              cfg: OnlineConfig, k_block: int, interpret: bool = False):
+    """K streaming inserts per launch with O(c)-sized VMEM state: returns
+    (w', live_win', scalars', status, delta_x, delta_y).  The caller
+    accumulates the per-launch path deltas host-side in launch order
+    (``delta[: plen_end − plen_start]`` are the valid entries)."""
+    if cols.shape[-1] < _LANES:
+        cols = jnp.pad(cols, ((0, 0), (0, _LANES - cols.shape[-1])))
+    c = cfg.c
+    w_lane = _round_up(c + 1, _LANES)
+    w_sub = _round_up(c + 1, _SUBLANES)
+    l_win, l_pad, r_win, d_pad = _long_geometry(cfg, c, w_lane, k_block)
+    assert live_win.shape == (l_pad, _LANES), live_win.shape
+    kernel = _make_insert_kernel_long(cfg, c, w_sub, w_lane, k_block, l_win, r_win)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    anym = pl.BlockSpec(memory_space=pl.ANY)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[smem, anym, vmem, vmem, vmem, vmem, smem],
+        out_specs=(vmem, vmem, smem, smem, smem, smem),
+        out_shape=(
+            jax.ShapeDtypeStruct(w.shape, jnp.float32),
+            jax.ShapeDtypeStruct(live_win.shape, jnp.float32),
+            jax.ShapeDtypeStruct(scalars.shape, jnp.int32),
+            jax.ShapeDtypeStruct((8,), jnp.int32),
+            jax.ShapeDtypeStruct((d_pad,), jnp.int32),
+            jax.ShapeDtypeStruct((d_pad,), jnp.int32),
+        ),
+        input_output_aliases={4: 0, 5: 1, 6: 2},
+        scratch_shapes=[
+            pltpu.VMEM((r_win, _LANES), jnp.float32),
+            pltpu.VMEM((l_win, _LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(lens, ref_t_hbm, cols, jnp.eye(w_lane, dtype=jnp.float32), w, live_win, scalars)
 
 
 # ---------------------------------------------------------------------------

@@ -42,7 +42,20 @@ def load_state(engine: BandedOnlineEngine, path: str) -> None:
 
 def save_fused_state(engine, path: str) -> None:
     """Snapshot a FusedStreamingEngine (window, live features, path,
-    scalars — models/fused_streaming.py) to ``path`` (.npz)."""
+    scalars — models/fused_streaming.py) to ``path`` (.npz).  Long-reference
+    engines (``engine.long_ref``) snapshot the sliding live window plus the
+    host-accumulated path instead of device-resident path buffers (the
+    pending delta launches are drained first)."""
+    if getattr(engine, "long_ref", False):
+        engine.flush()
+        p = engine.path_array  # drains pending deltas
+        w, live_win, sc = (np.asarray(x) for x in engine._state)
+        np.savez_compressed(
+            path, ref_t=np.asarray(engine.ref_t), w=w, live_win=live_win,
+            scalars=sc, host_path=p, long_ref=np.int32(1),
+            stopped=np.int32(engine._stopped_cached),
+        )
+        return
     w, live_t, px, py, sc = np.asarray(engine._state[0]), *map(np.asarray, engine._state[1:])
     np.savez_compressed(
         path, ref_t=np.asarray(engine.ref_t), w=w, live_t=live_t,
@@ -57,10 +70,28 @@ def load_fused_state(engine, path: str) -> None:
     import jax.numpy as jnp
 
     data = np.load(path)
+    ck_long = bool(int(data["long_ref"])) if "long_ref" in data.files else False
+    if ck_long != bool(getattr(engine, "long_ref", False)):
+        raise ValueError("checkpoint and engine disagree on long_ref mode")
     if data["ref_t"].shape != engine.ref_t.shape or not np.array_equal(
         data["ref_t"], np.asarray(engine.ref_t)
     ):
         raise ValueError("checkpoint was taken against a different reference sequence")
+    if getattr(engine, "long_ref", False):
+        for name, cur in zip(("w", "live_win", "scalars"), engine._state):
+            if data[name].shape != cur.shape:
+                raise ValueError(f"checkpoint field {name!r} has shape {data[name].shape}, engine expects {cur.shape}")
+        engine._state = jax.device_put(
+            tuple(jnp.asarray(data[n]) for n in ("w", "live_win", "scalars"))
+        )
+        p = data["host_path"]
+        engine._deltas.clear()
+        engine._host_px = [p[:, 0].astype(np.int32)] if len(p) else []
+        engine._host_py = [p[:, 1].astype(np.int32)] if len(p) else []
+        engine._drained_plen = len(p)
+        engine._init_status_polling()
+        engine._stopped_cached = bool(int(data["stopped"]))
+        return
     for name, cur in zip(("w", "live_t", "path_x", "path_y", "scalars"), engine._state):
         if data[name].shape != cur.shape:
             raise ValueError(f"checkpoint field {name!r} has shape {data[name].shape}, engine expects {cur.shape}")

@@ -202,3 +202,115 @@ def test_in_flight_probes_are_consistent():
     jax.block_until_ready([st for _, st in fused._outstanding])
     assert fused.in_flight() == 0
     assert fused.flush() is None or fused.flush() == "stop"
+
+
+# ---------------------------------------------------------------------------
+# Long-reference mode (ops/pallas_otw.py Driver 2b): O(c)-VMEM streaming with
+# HBM ref window, sliding live window and host-accumulated path deltas
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed,block,k_block,stack", [
+    (0, 8, 8, 4),   # block streaming + delta folding
+    (1, 1, 8, 64),  # per-frame inserts, unfolded drain
+    (2, 1, 1, 2),   # per-frame engine program
+    (3, 5, 2, 3),   # oversize feeds split across launches
+])
+def test_long_ref_matches_xla_engine(seed, block, k_block, stack, monkeypatch):
+    import real_time_audio_sync_tpu.models.fused_streaming as fs
+
+    monkeypatch.setattr(fs, "_DELTA_STACK", stack)
+    rng = np.random.default_rng(seed)
+    ref, live = _make_pair(rng, n_ref=48, stretch=1.25)
+    xla = OnlineTimeWarping(ref, PARAMS, dtype=np.float32)
+    for i in range(live.shape[1]):
+        if xla.insert(live[:, i]) == "stop":
+            break
+
+    eng = FusedStreamingEngine(ref, PARAMS, k_block=k_block, interpret=True,
+                               long_ref=True)
+    assert eng.long_ref
+    for s in range(0, live.shape[1], block):
+        eng.insert_block_nowait(live[:, s : s + block])
+    eng.flush()
+    np.testing.assert_array_equal(eng.path_array, xla.path_array)
+
+
+def test_long_ref_feed_and_periodic_drains():
+    """Adaptive feed through the long kernel, with mid-stream path reads
+    (delta drains) that must not lose or duplicate committed points."""
+    rng = np.random.default_rng(7)
+    ref, live = _make_pair(rng, n_ref=48, stretch=1.25)
+    xla = OnlineTimeWarping(ref, PARAMS, dtype=np.float32)
+    for i in range(live.shape[1]):
+        if xla.insert(live[:, i]) == "stop":
+            break
+
+    eng = FusedStreamingEngine(ref, PARAMS, k_block=8, interpret=True,
+                               long_ref=True)
+    for i in range(live.shape[1]):
+        eng.feed(live[:, i])
+        if i % 16 == 0:
+            eng.flush()
+            _ = eng.path_array  # mid-stream drain
+    eng.flush()
+    np.testing.assert_array_equal(eng.path_array, xla.path_array)
+
+
+def test_long_ref_stop_and_freeze():
+    rng = np.random.default_rng(4)
+    ref, live = _make_pair(rng, n_ref=32, stretch=1.0)
+    extra = _unit_cols(rng.random((12, 30)) + 0.05)
+    live = np.concatenate([live, extra], axis=1)
+
+    xla = OnlineTimeWarping(ref, PARAMS, dtype=np.float32)
+    for i in range(live.shape[1]):
+        if xla.insert(live[:, i]) == "stop":
+            break
+
+    eng = FusedStreamingEngine(ref, PARAMS, k_block=8, interpret=True,
+                               long_ref=True)
+    for s in range(0, live.shape[1], 8):
+        eng.insert_block_nowait(live[:, s : s + 8])
+    assert eng.flush() == "stop"
+    assert eng.insert_block_nowait(live[:, :8]) == "stop"
+    np.testing.assert_array_equal(eng.path_array, xla.path_array)
+
+
+def test_long_ref_checkpoint_resume():
+    """Mid-stream snapshot/restore of the long engine continues bit-exactly
+    (sliding live window + host path travel through the checkpoint)."""
+    from real_time_audio_sync_tpu.utils.checkpoint import (
+        load_fused_state,
+        save_fused_state,
+    )
+
+    rng = np.random.default_rng(9)
+    ref, live = _make_pair(rng, n_ref=48, stretch=1.25)
+    xla = OnlineTimeWarping(ref, PARAMS, dtype=np.float32)
+    for i in range(live.shape[1]):
+        if xla.insert(live[:, i]) == "stop":
+            break
+
+    import tempfile, os
+
+    eng = FusedStreamingEngine(ref, PARAMS, k_block=8, interpret=True,
+                               long_ref=True)
+    cut = (live.shape[1] // 2) // 8 * 8
+    for s in range(0, cut, 8):
+        eng.insert_block_nowait(live[:, s : s + 8])
+    with tempfile.TemporaryDirectory() as td:
+        ck = os.path.join(td, "ck.npz")
+        save_fused_state(eng, ck)
+        res = FusedStreamingEngine(ref, PARAMS, k_block=8, interpret=True,
+                                   long_ref=True)
+        load_fused_state(res, ck)
+        for s in range(cut, live.shape[1], 8):
+            res.insert_block_nowait(live[:, s : s + 8])
+        res.flush()
+        # mode mismatch is rejected explicitly
+        std = FusedStreamingEngine(ref, PARAMS, k_block=8, interpret=True,
+                                   long_ref=False)
+        with pytest.raises(ValueError, match="long_ref"):
+            load_fused_state(std, ck)
+    np.testing.assert_array_equal(res.path_array, xla.path_array)

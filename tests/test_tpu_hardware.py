@@ -56,6 +56,16 @@ for s in range(0, live.shape[1], 8):
 fused.flush()
 assert np.array_equal(fused.path_array, xla.path_array), "fused streaming path mismatch"
 
+# long-reference kernel (HBM ref window + sliding live window + path deltas,
+# ops/pallas_otw.py Driver 2b) must commit the identical path on hardware;
+# hour-scale (N=39k) capability is exercised separately (bench diagnostic)
+longe = FusedStreamingEngine(ref.astype(np.float32), P, k_block=8, long_ref=True)
+assert longe.long_ref
+for s in range(0, live.shape[1], 8):
+    longe.insert_block_nowait(live[:, s:s+8].astype(np.float32))
+longe.flush()
+assert np.array_equal(longe.path_array, xla.path_array), "long-ref kernel path mismatch"
+
 # regression: UNRELATED dispatches interleaved between the state-carrying
 # launches must not corrupt the persistent VMEM state (aliasing is not
 # reliably honored through jit — the kernel self-copies defensively)
