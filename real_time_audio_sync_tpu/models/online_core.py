@@ -302,6 +302,17 @@ class OnlineState(NamedTuple):
 def init_state(ref: jnp.ndarray, cfg: OnlineConfig, dtype) -> OnlineState:
     f, n = ref.shape
     m = 2 * n
+    # the dense (2N, N) accumulator is this engine's parity-with-reference
+    # artifact (otw_eran.py:23-27); past ~8 GB it cannot exist on any chip.
+    # Long scores belong on the banded engines, which are path-identical.
+    acc_bytes = 2 * n * n * np.dtype(dtype).itemsize
+    if acc_bytes > 8 << 30:
+        raise ValueError(
+            f"reference of {n} frames needs a {acc_bytes / 2**30:.0f} GB dense"
+            f" accumulator in the XLA engine; use FusedStreamingEngine"
+            f" (long-reference kernel auto-engages above N=6000) or AsyncWTW,"
+            f" both of which handle hour-scale references"
+        )
     return OnlineState(
         live=jnp.zeros((f, m), dtype),
         acc=jnp.full((m, n), cfg.sentinel, dtype),

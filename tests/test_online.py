@@ -257,3 +257,14 @@ def test_insert_block_equals_sequential_inserts(block):
     # the block may overshoot past the stop (extra inserts freeze), so the
     # paths agree exactly
     assert [tuple(p) for p in blk.path] == [tuple(p) for p in seq.path]
+
+
+def test_dense_engine_rejects_hour_scale_reference():
+    """The dense (2N, N) accumulator cannot exist at hour scale; the XLA
+    engine must say so helpfully instead of OOMing (the banded engines are
+    the supported path — FusedStreamingEngine long mode, AsyncWTW)."""
+    from real_time_audio_sync_tpu.models import OnlineTimeWarping
+
+    ref = np.zeros((12, 40_000), np.float32)
+    with pytest.raises(ValueError, match="FusedStreamingEngine"):
+        OnlineTimeWarping(ref, {"c": 50, "max_run_count": 3})
