@@ -807,7 +807,8 @@ def _long_geometry(cfg: OnlineConfig, c: int, w_lane: int, k_block: int):
 
 
 def _make_insert_kernel_long(cfg: OnlineConfig, c: int, w_sub: int, w_lane: int,
-                             k_block: int, l_win: int, r_win: int):
+                             k_block: int, l_win: int, r_win: int,
+                             batched: bool = False, shared_ref: bool = True):
     def kernel(
         lens_ref,  # SMEM (4,): [live_cap, ref_len, n_valid, 0]
         ref_hbm_ref,  # ANY/HBM ref^T (c leading pad rows + r_win trailing pad)
@@ -817,52 +818,69 @@ def _make_insert_kernel_long(cfg: OnlineConfig, c: int, w_sub: int, w_lane: int,
         w_ref, live_ref, sc_ref,  # aliased state (outputs)
         status_ref,  # SMEM (8,) int32
         dx_ref, dy_ref,  # SMEM (d_pad,) int32: this launch's path delta
-        ref_win,  # VMEM scratch (r_win, 128): ref window [j0, j0+r_win)
-        stage,  # VMEM scratch (l_win, 128): live-window shift stage
-        sem_ref, sem_in, sem_out,  # DMA semaphores
+        ref_win,  # VMEM scratch: ref window [j0, j0+r_win); (1, r_win, 128)
+        #           when batched — a squeezed-batch HBM source rejects
+        #           rank-reducing DMA slices, so the copy keeps all 3 dims
+        sem_ref,  # DMA semaphore
     ):
+        # batched=True: 1-D grid over streams; SMEM operands are row-shaped
+        # (1, X) squeezed-batch blocks (see _make_insert_kernel), and the
+        # reference stays an UNBLOCKED (1|B, R, 128) ANY array — each grid
+        # step DMAs its own stream's window out of it
+        if batched:
+            ld = lambda r, i: r[0, i]
+
+            def st(r, i, v):
+                r[0, i] = v
+        else:
+            ld = lambda r, i: r[i]
+
+            def st(r, i, v):
+                r[i] = v
+
         for _s in range(_N_SCALARS):
-            sc_ref[_s] = sc_in[_s]
-        live_cap = lens_ref[0]
-        ref_len = lens_ref[1]
-        n_valid = lens_ref[2]
-        t0 = sc_ref[_S_T]
-        j0 = sc_ref[_S_J]
-        plen0 = sc_ref[_S_PLEN]
-        old_base = sc_ref[_S_LIVE_BASE]
+            st(sc_ref, _s, ld(sc_in, _s))
+        live_cap = ld(lens_ref, 0)
+        ref_len = ld(lens_ref, 1)
+        n_valid = ld(lens_ref, 2)
+        t0 = ld(sc_ref, _S_T)
+        j0 = ld(sc_ref, _S_J)
+        plen0 = ld(sc_ref, _S_PLEN)
+        old_base = ld(sc_ref, _S_LIVE_BASE)
 
         # ref window load first — overlaps with the live-window shift
         ref_base = j0
-        ref_dma = pltpu.make_async_copy(
-            ref_hbm_ref.at[pl.ds(ref_base, r_win)], ref_win, sem_ref)
+        if batched:
+            stream = 0 if shared_ref else pl.program_id(0)
+            ref_src = ref_hbm_ref.at[pl.ds(stream, 1), pl.ds(ref_base, r_win)]
+        else:
+            ref_src = ref_hbm_ref.at[pl.ds(ref_base, r_win)]
+        ref_dma = pltpu.make_async_copy(ref_src, ref_win, sem_ref)
         ref_dma.start()
 
         # live-window realign: retain virtual rows [t0, t0+l_win) at
         # physical [0, l_win).  delta ≤ k_block (per-launch t advance), so
         # delta + l_win ≤ l_pad always; rows ≥ l_win stay unspecified —
         # every virtual row is written by its own insert before any read.
+        # A dynamic-sublane vector copy, not a DMA: the load materializes
+        # before the store, so the overlapping aliased move is safe, and
+        # squeezed-batch refs reject rank-reducing DMA slices.
         new_base = jnp.maximum(old_base, t0)
         delta = new_base - old_base
-        in_dma = pltpu.make_async_copy(
-            live_in.at[pl.ds(delta, l_win)], stage, sem_in)
-        in_dma.start()
-        in_dma.wait()
-        out_dma = pltpu.make_async_copy(
-            stage, live_ref.at[pl.ds(0, l_win)], sem_out)
-        out_dma.start()
-        out_dma.wait()
-        sc_ref[_S_LIVE_BASE] = new_base
+        live_ref[pl.ds(0, l_win), :] = live_in[pl.ds(delta, l_win), :]
+        st(sc_ref, _S_LIVE_BASE, new_base)
 
         # defensive VMEM self-copy (same aliasing caveat as the standard
         # kernel; no-ops when aliasing holds)
         w_ref[:] = w_in[:]
         ref_dma.wait()
+        ref_view = ref_win.at[0] if batched else ref_win
 
         def path_store(plen, x, y):
-            dx_ref[plen - plen0] = x
-            dy_ref[plen - plen0] = y
+            st(dx_ref, plen - plen0, x)
+            st(dy_ref, plen - plen0, y)
 
-        ops = _build_ops(cfg, c, w_sub, w_lane, w_ref, ref_win, live_ref,
+        ops = _build_ops(cfg, c, w_sub, w_lane, w_ref, ref_view, live_ref,
                          eye_ref, path_store, live_off=new_base, ref_off=ref_base)
 
         def insert(k, carry):
@@ -925,29 +943,29 @@ def _make_insert_kernel_long(cfg: OnlineConfig, c: int, w_sub: int, w_lane: int,
             return t_new, j, rc, prev, plen, lastx, lasty, first, stopped, direction, overflow
 
         carry = (
-            sc_ref[_S_T], sc_ref[_S_J], sc_ref[_S_RC], sc_ref[_S_PREV],
-            sc_ref[_S_PLEN], sc_ref[_S_LASTX], sc_ref[_S_LASTY],
-            sc_ref[_S_FIRST] != 0, sc_ref[_S_STOPPED] != 0, sc_ref[_S_DIR],
-            sc_ref[_S_OVERFLOW] != 0,
+            ld(sc_ref, _S_T), ld(sc_ref, _S_J), ld(sc_ref, _S_RC), ld(sc_ref, _S_PREV),
+            ld(sc_ref, _S_PLEN), ld(sc_ref, _S_LASTX), ld(sc_ref, _S_LASTY),
+            ld(sc_ref, _S_FIRST) != 0, ld(sc_ref, _S_STOPPED) != 0, ld(sc_ref, _S_DIR),
+            ld(sc_ref, _S_OVERFLOW) != 0,
         )
         t, j, rc, prev, plen, lastx, lasty, first, stopped, direction, overflow = lax.fori_loop(
             0, k_block, insert, carry
         )
-        sc_ref[_S_T] = t
-        sc_ref[_S_J] = j
-        sc_ref[_S_RC] = rc
-        sc_ref[_S_PREV] = prev
-        sc_ref[_S_PLEN] = plen
-        sc_ref[_S_LASTX] = lastx
-        sc_ref[_S_LASTY] = lasty
-        sc_ref[_S_FIRST] = first.astype(jnp.int32)
-        sc_ref[_S_STOPPED] = stopped.astype(jnp.int32)
-        sc_ref[_S_DIR] = direction
-        sc_ref[_S_OVERFLOW] = overflow.astype(jnp.int32)
-        status_ref[0] = stopped.astype(jnp.int32) | (overflow.astype(jnp.int32) << 1)
-        status_ref[1] = plen
-        status_ref[2] = lastx
-        status_ref[3] = lasty
+        st(sc_ref, _S_T, t)
+        st(sc_ref, _S_J, j)
+        st(sc_ref, _S_RC, rc)
+        st(sc_ref, _S_PREV, prev)
+        st(sc_ref, _S_PLEN, plen)
+        st(sc_ref, _S_LASTX, lastx)
+        st(sc_ref, _S_LASTY, lasty)
+        st(sc_ref, _S_FIRST, first.astype(jnp.int32))
+        st(sc_ref, _S_STOPPED, stopped.astype(jnp.int32))
+        st(sc_ref, _S_DIR, direction)
+        st(sc_ref, _S_OVERFLOW, overflow.astype(jnp.int32))
+        st(status_ref, 0, stopped.astype(jnp.int32) | (overflow.astype(jnp.int32) << 1))
+        st(status_ref, 1, plen)
+        st(status_ref, 2, lastx)
+        st(status_ref, 3, lasty)
 
     return kernel
 
@@ -986,13 +1004,85 @@ def _pallas_insert_block_long(lens, ref_t_hbm, cols, w, live_win, scalars,
         input_output_aliases={4: 0, 5: 1, 6: 2},
         scratch_shapes=[
             pltpu.VMEM((r_win, _LANES), jnp.float32),
-            pltpu.VMEM((l_win, _LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
     )(lens, ref_t_hbm, cols, jnp.eye(w_lane, dtype=jnp.float32), w, live_win, scalars)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "k_block", "shared_ref", "interpret"),
+    donate_argnames=("w", "live_win", "scalars"),
+)
+def _pallas_multi_insert_block_long(lens, ref_t_hbm, cols, w, live_win, scalars,
+                                    cfg: OnlineConfig, k_block: int,
+                                    shared_ref: bool = True, interpret: bool = False):
+    """B concurrent LONG-REFERENCE streams per launch: Driver 3's grid over
+    Driver 2b's O(c)-VMEM body.  The reference stays one (1|B, R, 128) HBM
+    array shared by every grid step (each step DMAs its own stream's
+    [j₀, j₀+r_win) window), per-stream VMEM state is the band window plus
+    the sliding live window, and each stream's committed points come back
+    in its (1, d_pad) delta row — hour-long concerts at serving batch
+    sizes, with per-stream VMEM flat in N and in B (one stream's blocks
+    resident per grid step).
+
+    Returns (w', live_win', scalars', status (B,1,8), dx (B,1,d_pad),
+    dy (B,1,d_pad))."""
+    b = w.shape[0]
+    if cols.shape[-1] < _LANES:
+        cols = jnp.pad(cols, ((0, 0), (0, 0), (0, _LANES - cols.shape[-1])))
+    c = cfg.c
+    w_lane = _round_up(c + 1, _LANES)
+    w_sub = _round_up(c + 1, _SUBLANES)
+    l_win, l_pad, r_win, d_pad = _long_geometry(cfg, c, w_lane, k_block)
+    assert live_win.shape == (b, l_pad, _LANES), live_win.shape
+    kernel = _make_insert_kernel_long(cfg, c, w_sub, w_lane, k_block, l_win,
+                                      r_win, batched=True, shared_ref=shared_ref)
+
+    def _batched(arr, mem):
+        shape = arr.shape[1:]
+        zeros = (0,) * len(shape)
+        return pl.BlockSpec((None, *shape), lambda i: (i, *zeros), memory_space=mem)
+
+    eye = jnp.eye(w_lane, dtype=jnp.float32)
+    eye_spec = pl.BlockSpec(eye.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    vmem, smem = pltpu.VMEM, pltpu.SMEM
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            _batched(lens, smem),
+            pl.BlockSpec(memory_space=pl.ANY),  # whole ref array; DMA per step
+            _batched(cols, vmem),
+            eye_spec,
+            _batched(w, vmem),
+            _batched(live_win, vmem),
+            _batched(scalars, smem),
+        ],
+        out_specs=(
+            _batched(w, vmem),
+            _batched(live_win, vmem),
+            _batched(scalars, smem),
+            pl.BlockSpec((None, 1, 8), lambda i: (i, 0, 0), memory_space=smem),
+            pl.BlockSpec((None, 1, d_pad), lambda i: (i, 0, 0), memory_space=smem),
+            pl.BlockSpec((None, 1, d_pad), lambda i: (i, 0, 0), memory_space=smem),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(w.shape, jnp.float32),
+            jax.ShapeDtypeStruct(live_win.shape, jnp.float32),
+            jax.ShapeDtypeStruct(scalars.shape, jnp.int32),
+            jax.ShapeDtypeStruct((b, 1, 8), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1, d_pad), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1, d_pad), jnp.int32),
+        ),
+        input_output_aliases={4: 0, 5: 1, 6: 2},
+        scratch_shapes=[
+            pltpu.VMEM((1, r_win, _LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(lens, ref_t_hbm, cols, eye, w, live_win, scalars)
 
 
 # ---------------------------------------------------------------------------

@@ -184,7 +184,7 @@ class FusedMultiStreamFollower:
     def __init__(self, ref, params, n_streams: Optional[int] = None,
                  cfg_overrides: Optional[dict] = None, k_block: int = 8,
                  interpret: bool = False, mesh: Optional[Mesh] = None,
-                 max_in_flight: int = 4):
+                 max_in_flight: int = 4, long_ref: Optional[bool] = None):
         import time as _time
 
         from real_time_audio_sync_tpu.models.online_core import (
@@ -244,12 +244,31 @@ class FusedMultiStreamFollower:
         self._k_pad = _round_up(self.k_block, _SUBLANES)
         self._f_pad = _round_up(f, _SUBLANES)
 
-        r_rows = _round_up(c + n_max + w_lane + 8, _SUBLANES)
+        # long-reference serving (ops/pallas_otw.py Drivers 2b + batched):
+        # hour-scale references at serving batch sizes — per-stream VMEM is
+        # the band window + a sliding live window, the ref stays in HBM and
+        # each grid step DMAs its own stream's slice, and committed points
+        # come back in per-launch delta rows accumulated host-side
+        from real_time_audio_sync_tpu.models.fused_streaming import (
+            _DELTA_STACK,
+            _LONG_REF_THRESHOLD,
+        )
+        from real_time_audio_sync_tpu.ops.pallas_otw import _long_geometry
+
+        self.long_ref = bool(n_max >= _LONG_REF_THRESHOLD if long_ref is None else long_ref)
+        self._delta_stack = _DELTA_STACK
+
+        if self.long_ref:
+            l_win, l_pad, r_win, d_pad = _long_geometry(self.cfg, c, w_lane, self.k_block)
+            r_rows = _round_up(c + n_max + r_win + 8, _SUBLANES)
+            l_rows = l_pad
+        else:
+            r_rows = _round_up(c + n_max + w_lane + 8, _SUBLANES)
+            l_rows = _round_up(c + 2 * n_max + w_sub + 8, _SUBLANES)
         ref_t = np.zeros((len(refs), r_rows, _LANES), np.float32)
         for i, r in enumerate(refs):
             ref_t[i, c : c + r.shape[1], :f] = r.T
 
-        l_rows = _round_up(c + 2 * n_max + w_sub + 8, _SUBLANES)
         p_pad = _round_up(2 * n_max + n_max + 16, _LANES)
         # SMEM state is row-shaped (B, 1, X): squeezed-batch SMEM blocks
         # must keep their last two dims equal to the array's (Mosaic rule)
@@ -272,13 +291,24 @@ class FusedMultiStreamFollower:
             put = jax.device_put
             self._rep = jax.device_put
         self._ref_dev = self._rep(ref_t) if self.shared_ref else put(ref_t)
-        self._state = (
-            put(np.full((self.b, w_sub, w_lane), self.cfg.sentinel, np.float32)),
-            put(np.zeros((self.b, l_rows, _LANES), np.float32)),
-            put(np.zeros((self.b, 1, p_pad), np.int32)),
-            put(np.zeros((self.b, 1, p_pad), np.int32)),
-            put(jnp.asarray(scalars)),
-        )
+        if self.long_ref:
+            self._state = (
+                put(np.full((self.b, w_sub, w_lane), self.cfg.sentinel, np.float32)),
+                put(np.zeros((self.b, l_rows, _LANES), np.float32)),
+                put(jnp.asarray(scalars)),
+            )
+            self._deltas: list = []  # (status, dx, dy) triples or folded stacks
+            self._host_px: List[list] = [[] for _ in range(self.b)]
+            self._host_py: List[list] = [[] for _ in range(self.b)]
+            self._drained_plen = np.zeros(self.b, np.int64)
+        else:
+            self._state = (
+                put(np.full((self.b, w_sub, w_lane), self.cfg.sentinel, np.float32)),
+                put(np.zeros((self.b, l_rows, _LANES), np.float32)),
+                put(np.zeros((self.b, 1, p_pad), np.int32)),
+                put(np.zeros((self.b, 1, p_pad), np.int32)),
+                put(jnp.asarray(scalars)),
+            )
         self._step = self._build_step()
 
         self._pending: List[List[np.ndarray]] = [[] for _ in range(self.b)]
@@ -294,12 +324,17 @@ class FusedMultiStreamFollower:
         self._harvest_pool = None
 
     def _build_step(self):
-        from real_time_audio_sync_tpu.ops.pallas_otw import _pallas_multi_insert_block
+        from real_time_audio_sync_tpu.ops.pallas_otw import (
+            _pallas_multi_insert_block,
+            _pallas_multi_insert_block_long,
+        )
 
+        fn = _pallas_multi_insert_block_long if self.long_ref else _pallas_multi_insert_block
+        n_state = len(self._state)
         cfg, kb, shared, interp = self.cfg, self.k_block, self.shared_ref, self.interpret
         if self.mesh is None:
             def step(lens, cols, state):
-                return _pallas_multi_insert_block(
+                return fn(
                     lens, self._ref_dev, cols, *state,
                     cfg=cfg, k_block=kb, shared_ref=shared, interpret=interp)
             return step
@@ -309,20 +344,20 @@ class FusedMultiStreamFollower:
         batched = P(axes)
         ref_spec = P(*(None,) * 3) if shared else P(axes)
 
-        def sharded(lens, ref_dev, cols, w, live_t, px, py, sc):
-            return _pallas_multi_insert_block(
-                lens, ref_dev, cols, w, live_t, px, py, sc,
+        def sharded(lens, ref_dev, cols, *state):
+            return fn(
+                lens, ref_dev, cols, *state,
                 cfg=cfg, k_block=kb, shared_ref=shared, interpret=interp)
 
         inner = jax.shard_map(
             sharded, mesh=mesh,
-            in_specs=(batched, ref_spec, batched) + (batched,) * 5,
+            in_specs=(batched, ref_spec, batched) + (batched,) * n_state,
             out_specs=(batched,) * 6,
             # pallas_call's out_shapes carry no varying-mesh-axes annotation;
             # every output is batch-sharded by construction
             check_vma=False,
         )
-        inner = jax.jit(inner, donate_argnums=(3, 4, 5, 6, 7))
+        inner = jax.jit(inner, donate_argnums=tuple(range(3, 3 + n_state)))
 
         def step(lens, cols, state):
             put = batch_axis_sharding_put(mesh)
@@ -370,10 +405,49 @@ class FusedMultiStreamFollower:
                 block[i, :k, : self.f] = np.stack(self._pending[i][:k])
                 del self._pending[i][:k]
         self.dispatched_block_sizes.append(int(ks.max()))
-        *state, status = self._step(lens, block, self._state)
-        self._state = tuple(state)
+        if self.long_ref:
+            w, live_win, sc, status, dx, dy = self._step(lens, block, self._state)
+            self._state = (w, live_win, sc)
+            self._deltas.append((status, dx, dy))
+            self._fold_deltas()
+        else:
+            *state, status = self._step(lens, block, self._state)
+            self._state = tuple(state)
         self._outstanding.append(status)
         self.poll()
+
+    # -- long-reference path-delta machinery (models/fused_streaming.py
+    # rationale: fold pending launches into one stacked array device-side so
+    # draining costs one relay read per _DELTA_STACK launches) --------------
+
+    def _fold_deltas(self) -> None:
+        tail = [d for d in self._deltas[-self._delta_stack:] if isinstance(d, tuple)]
+        if len(self._deltas) < self._delta_stack or len(tail) < self._delta_stack:
+            return
+        sts = jnp.stack([t[0] for t in tail])  # (M, B, 1, 8)
+        dxs = jnp.stack([t[1] for t in tail])  # (M, B, 1, d_pad)
+        dys = jnp.stack([t[2] for t in tail])
+        stacked = jnp.concatenate([sts, dxs, dys], axis=-1)
+        del self._deltas[len(self._deltas) - len(tail):]
+        self._deltas.append(stacked)
+
+    def _drain_deltas(self) -> None:
+        for entry in self._deltas:
+            if isinstance(entry, tuple):
+                rows = np.concatenate([np.asarray(a) for a in entry], axis=-1)[None]
+            else:
+                rows = np.asarray(entry)
+            d_pad = (rows.shape[-1] - 8) // 2
+            for m in range(rows.shape[0]):
+                for i in range(self.b):
+                    row = rows[m, i, 0]
+                    plen_end = int(row[1])
+                    n_new = plen_end - int(self._drained_plen[i])
+                    if n_new > 0:
+                        self._host_px[i].append(row[8 : 8 + n_new].astype(np.int32))
+                        self._host_py[i].append(row[8 + d_pad : 8 + d_pad + n_new].astype(np.int32))
+                        self._drained_plen[i] = plen_end
+        self._deltas.clear()
 
     def poll(self) -> np.ndarray:
         """Non-blocking status refresh (mirrors the solo engines'
@@ -455,7 +529,19 @@ class FusedMultiStreamFollower:
         return self._last_points.copy()
 
     def paths(self) -> List[np.ndarray]:
-        """Per-stream committed paths (synchronizing batched fetch)."""
+        """Per-stream committed paths (synchronizing fetch; long mode drains
+        every dispatched launch's delta rows into the host-side paths)."""
+        if self.long_ref:
+            self._drain_deltas()
+            out = []
+            for i in range(self.b):
+                if self._host_px[i]:
+                    out.append(np.stack(
+                        [np.concatenate(self._host_px[i]),
+                         np.concatenate(self._host_py[i])], axis=1))
+                else:
+                    out.append(np.zeros((0, 2), np.int32))
+            return out
         px, py, sc = jax.device_get(self._state[2:5])
         out = []
         for i in range(self.b):

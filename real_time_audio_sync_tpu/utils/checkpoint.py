@@ -107,8 +107,28 @@ def save_multi_stream_state(fms, path: str) -> None:
     FusedMultiStreamFollower` — all ``B`` streams' banded window, live
     features, committed paths and scalar state in one ``.npz``.  Flushes
     first (dispatches queued columns, waits for in-flight launches) so the
-    snapshot is a consistent frontier across every stream."""
+    snapshot is a consistent frontier across every stream.  Long-reference
+    followers snapshot the sliding live windows plus the host-accumulated
+    per-stream paths (delta launches drained first)."""
     fms.flush()
+    if getattr(fms, "long_ref", False):
+        paths = fms.paths()  # drains pending deltas
+        w, live_win, sc = (np.asarray(x) for x in fms._state)
+        lens = np.asarray([len(p) for p in paths], np.int64)
+        cat = (np.concatenate(paths, axis=0) if len(paths) and sum(lens)
+               else np.zeros((0, 2), np.int32))
+        np.savez_compressed(
+            path,
+            ref_t=np.asarray(fms._ref_dev), w=w, live_win=live_win,
+            scalars=sc, host_paths=cat, host_path_lens=lens,
+            long_ref=np.int32(1),
+            stopped=fms._stopped.astype(np.int32),
+            last_points=np.asarray(fms._last_points, np.int64),
+            k_block=np.int32(fms.k_block),
+            c=np.int32(fms.cfg.c),
+            max_run_count=np.int32(fms.cfg.max_run_count),
+        )
+        return
     w, live_t, px, py, sc = (np.asarray(x) for x in fms._state)
     np.savez_compressed(
         path,
@@ -132,6 +152,9 @@ def load_multi_stream_state(fms, path: str) -> None:
     from real_time_audio_sync_tpu.parallel.serving import batch_axis_sharding_put
 
     data = np.load(path)
+    ck_long = bool(int(data["long_ref"])) if "long_ref" in data.files else False
+    if ck_long != bool(getattr(fms, "long_ref", False)):
+        raise ValueError("checkpoint and follower disagree on long_ref mode")
     if data["ref_t"].shape != fms._ref_dev.shape or not np.array_equal(
         data["ref_t"], np.asarray(fms._ref_dev)
     ):
@@ -141,13 +164,26 @@ def load_multi_stream_state(fms, path: str) -> None:
         if int(data[field]) != want:
             raise ValueError(
                 f"checkpoint {field} {int(data[field])} != engine {field} {want}")
-    names = ("w", "live_t", "path_x", "path_y", "scalars")
+    names = ("w", "live_win", "scalars") if ck_long else ("w", "live_t", "path_x", "path_y", "scalars")
     for name, cur in zip(names, fms._state):
         if data[name].shape != cur.shape:
             raise ValueError(
                 f"checkpoint field {name!r} has shape {data[name].shape}, engine expects {cur.shape}")
     put = batch_axis_sharding_put(fms.mesh) if fms.mesh is not None else jax.device_put
     fms._state = tuple(put(jnp.asarray(data[n])) for n in names)
+    if ck_long:
+        cat, lens = data["host_paths"], data["host_path_lens"]
+        fms._deltas.clear()
+        fms._host_px = [[] for _ in range(fms.b)]
+        fms._host_py = [[] for _ in range(fms.b)]
+        off = 0
+        for i in range(fms.b):
+            n_i = int(lens[i])
+            if n_i:
+                fms._host_px[i].append(cat[off : off + n_i, 0].astype(np.int32))
+                fms._host_py[i].append(cat[off : off + n_i, 1].astype(np.int32))
+            off += n_i
+        fms._drained_plen = lens.astype(np.int64).copy()
     fms._stopped = data["stopped"].astype(bool)
     fms._last_points = data["last_points"].astype(np.int64)
     # no queued columns or in-flight work survives a restore

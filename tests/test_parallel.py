@@ -342,3 +342,109 @@ def test_batched_set_live_banded_sharded_over_mesh():
     for ps, pm in zip(solo, sharded):
         np.testing.assert_array_equal(np.asarray(ps), np.asarray(pm))
     assert float(mean_len) > 0
+
+
+# ---------------------------------------------------------------------------
+# Long-reference multi-stream serving (grid over Driver 2b's O(c)-VMEM body)
+# ---------------------------------------------------------------------------
+
+
+def test_fused_multistream_long_ref_mixed_refs():
+    """Long-mode serving: B streams against different (padded) references
+    commit exactly the solo fused engine's paths via host-drained delta
+    rows, including per-stream stop divergence."""
+    from real_time_audio_sync_tpu.parallel import FusedMultiStreamFollower
+
+    rng = np.random.default_rng(21)
+    pairs = [_make_pair(rng, n_ref=32 + 8 * i, stretch=1.0 + 0.2 * i) for i in range(3)]
+    solo = [_solo_fused_path(r, l) for r, l in pairs]
+
+    fms = FusedMultiStreamFollower([r for r, _ in pairs], FMS_PARAMS,
+                                   k_block=8, interpret=True, long_ref=True)
+    assert fms.long_ref
+    tmax = max(l.shape[1] for _, l in pairs)
+    for t in range(tmax):
+        cols = np.zeros((3, 12), np.float32)
+        act = np.zeros(3, bool)
+        for i, (_, l) in enumerate(pairs):
+            if t < l.shape[1]:
+                cols[i], act[i] = l[:, t], True
+        fms.feed(cols, act)
+        if t == tmax // 2:
+            _ = fms.paths()  # mid-stream drain must not lose/duplicate points
+    fms.flush()
+    for i, p in enumerate(fms.paths()):
+        np.testing.assert_array_equal(p, solo[i])
+
+
+def test_fused_multistream_long_ref_folding(monkeypatch):
+    """Delta folding (stacked device-side reads) preserves exact paths."""
+    from real_time_audio_sync_tpu.parallel import FusedMultiStreamFollower
+
+    rng = np.random.default_rng(22)
+    ref, live = _make_pair(rng, n_ref=32, stretch=1.2)
+    solo = _solo_fused_path(ref, live)
+
+    fms = FusedMultiStreamFollower(ref, FMS_PARAMS, n_streams=2, k_block=8,
+                                   interpret=True, long_ref=True)
+    fms._delta_stack = 3  # fold every 3 launches
+    for t in range(live.shape[1]):
+        fms.feed(np.repeat(live[None, :, t], 2, axis=0))
+    fms.flush()
+    for p in fms.paths():
+        np.testing.assert_array_equal(p, solo)
+
+
+def test_fused_multistream_long_ref_over_mesh():
+    """Long mode sharded over the 8-virtual-device mesh via shard_map."""
+    from real_time_audio_sync_tpu.parallel import FusedMultiStreamFollower, corpus_mesh
+
+    rng = np.random.default_rng(23)
+    ref, live = _make_pair(rng, n_ref=32, stretch=1.1)
+    solo = _solo_fused_path(ref, live)
+    mesh = corpus_mesh()
+    fms = FusedMultiStreamFollower(ref, FMS_PARAMS, n_streams=8, k_block=8,
+                                   interpret=True, mesh=mesh, long_ref=True)
+    for t in range(live.shape[1]):
+        fms.feed(np.repeat(live[None, :, t], 8, axis=0))
+    fms.flush()
+    for p in fms.paths():
+        np.testing.assert_array_equal(p, solo)
+
+
+def test_fused_multistream_long_ref_checkpoint():
+    """Mid-stream snapshot/restore of the long-mode follower continues
+    bit-exactly; mode mismatch on load is rejected."""
+    import os
+    import tempfile
+
+    from real_time_audio_sync_tpu.parallel import FusedMultiStreamFollower
+    from real_time_audio_sync_tpu.utils.checkpoint import (
+        load_multi_stream_state,
+        save_multi_stream_state,
+    )
+
+    rng = np.random.default_rng(24)
+    ref, live = _make_pair(rng, n_ref=32, stretch=1.2)
+    solo = _solo_fused_path(ref, live)
+
+    fms = FusedMultiStreamFollower(ref, FMS_PARAMS, n_streams=2, k_block=8,
+                                   interpret=True, long_ref=True)
+    cut = live.shape[1] // 2
+    for t in range(cut):
+        fms.feed(np.repeat(live[None, :, t], 2, axis=0))
+    with tempfile.TemporaryDirectory() as td:
+        ck = os.path.join(td, "fms.npz")
+        save_multi_stream_state(fms, ck)
+        res = FusedMultiStreamFollower(ref, FMS_PARAMS, n_streams=2, k_block=8,
+                                       interpret=True, long_ref=True)
+        load_multi_stream_state(res, ck)
+        for t in range(cut, live.shape[1]):
+            res.feed(np.repeat(live[None, :, t], 2, axis=0))
+        res.flush()
+        std = FusedMultiStreamFollower(ref, FMS_PARAMS, n_streams=2, k_block=8,
+                                       interpret=True, long_ref=False)
+        with pytest.raises(ValueError, match="long_ref"):
+            load_multi_stream_state(std, ck)
+    for p in res.paths():
+        np.testing.assert_array_equal(p, solo)
