@@ -59,6 +59,37 @@ _LONG_REF_THRESHOLD = 6000
 _DELTA_STACK = 64
 
 
+def fold_delta_tail(deltas: list, stack: int) -> None:
+    """Fold the trailing run of unstacked (status, dx, dy) triples in
+    ``deltas`` into ONE device-side array once ``stack`` have accumulated —
+    an async dispatch, never a read.  Each component may carry extra leading
+    batch dims (the multi-stream engine's (B, 1, X) rows); the fold stacks
+    a new launch axis in front and concatenates [status | dx | dy] along the
+    last axis.  Shared by the solo and multi-stream long engines so the
+    layout stays defined in exactly one place."""
+    tail = [d for d in deltas[-stack:] if isinstance(d, tuple)]
+    if len(deltas) < stack or len(tail) < stack:
+        return
+    sts = jnp.stack([t[0] for t in tail])
+    dxs = jnp.stack([t[1] for t in tail])
+    dys = jnp.stack([t[2] for t in tail])
+    stacked = jnp.concatenate([sts, dxs, dys], axis=-1)
+    del deltas[len(deltas) - len(tail):]
+    deltas.append(stacked)
+
+
+def iter_delta_rows(deltas: list):
+    """Yield each pending entry as a launch-major ``(M, ..., 8 + 2·d_pad)``
+    numpy block in dispatch order (blocks on in-flight launches), then clear
+    the list.  The inverse of :func:`fold_delta_tail`'s layout."""
+    for entry in deltas:
+        if isinstance(entry, tuple):
+            yield np.concatenate([np.asarray(a) for a in entry], axis=-1)[None]
+        else:
+            yield np.asarray(entry)
+    deltas.clear()
+
+
 class FusedStreamingEngine(StatusPolling):
     """Streams chroma columns through the fused Pallas insert kernel."""
 
@@ -196,32 +227,13 @@ class FusedStreamingEngine(StatusPolling):
     # -- long-reference path-delta machinery ---------------------------------
 
     def _fold_deltas(self) -> None:
-        """Fold the trailing run of unstacked (status, dx, dy) triples into
-        ONE device-side (M, 8 + 2·d_pad) array once _DELTA_STACK have
-        accumulated — an async dispatch, never a read — so draining an
-        hour-long session costs one relay read per _DELTA_STACK launches."""
-        tail = [d for d in self._deltas[-_DELTA_STACK:] if isinstance(d, tuple)]
-        if len(self._deltas) < _DELTA_STACK or len(tail) < _DELTA_STACK:
-            return
-        self._stack_tail(tail)
-
-    def _stack_tail(self, tail) -> None:
-        sts = jnp.stack([t[0] for t in tail])
-        dxs = jnp.stack([t[1] for t in tail])
-        dys = jnp.stack([t[2] for t in tail])
-        stacked = jnp.concatenate([sts, dxs, dys], axis=1)
-        del self._deltas[len(self._deltas) - len(tail):]
-        self._deltas.append(stacked)
+        fold_delta_tail(self._deltas, _DELTA_STACK)
 
     def _drain_deltas(self) -> None:
         """Accumulate every pending launch's committed path points into the
         host-side path (blocks on in-flight launches)."""
-        for entry in self._deltas:
-            if isinstance(entry, tuple):
-                rows = np.concatenate([np.asarray(a) for a in entry])[None, :]
-            else:
-                rows = np.asarray(entry)
-            d_pad = (rows.shape[1] - 8) // 2
+        for rows in iter_delta_rows(self._deltas):
+            d_pad = (rows.shape[-1] - 8) // 2
             for row in rows:
                 plen_end = int(row[1])
                 n_new = plen_end - self._drained_plen
@@ -229,7 +241,6 @@ class FusedStreamingEngine(StatusPolling):
                     self._host_px.append(row[8 : 8 + n_new].astype(np.int32))
                     self._host_py.append(row[8 + d_pad : 8 + d_pad + n_new].astype(np.int32))
                     self._drained_plen = plen_end
-        self._deltas.clear()
 
     # -- adaptive per-frame streaming ----------------------------------------
 

@@ -309,9 +309,10 @@ def init_state(ref: jnp.ndarray, cfg: OnlineConfig, dtype) -> OnlineState:
     if acc_bytes > 8 << 30:
         raise ValueError(
             f"reference of {n} frames needs a {acc_bytes / 2**30:.0f} GB dense"
-            f" accumulator in the XLA engine; use FusedStreamingEngine"
-            f" (long-reference kernel auto-engages above N=6000) or AsyncWTW,"
-            f" both of which handle hour-scale references"
+            f" accumulator in the XLA engine; hour-scale references belong on"
+            f" the banded engines: FusedStreamingEngine or"
+            f" parallel.FusedMultiStreamFollower (long-reference kernel"
+            f" auto-engages above N=6000), or AsyncWTW for raw audio"
         )
     return OnlineState(
         live=jnp.zeros((f, m), dtype),

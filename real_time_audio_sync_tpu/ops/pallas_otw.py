@@ -74,6 +74,16 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _squeezed_batch_spec(shape_tail, mem):
+    """BlockSpec for one stream's block of a batch-leading array in a 1-D
+    grid over streams: the leading dim is squeezed (None) and grid step i
+    maps to batch row i.  SMEM operands must arrive row-shaped (B, 1, X) —
+    Mosaic requires squeezed-batch SMEM blocks to keep their last two dims
+    equal to the array's."""
+    zeros = (0,) * len(shape_tail)
+    return pl.BlockSpec((None, *shape_tail), lambda i: (i, *zeros), memory_space=mem)
+
+
 def _minplus_doubling(b, cost, length: int, axis: int):
     """Hillis–Steele inclusive scan of ``r_k = min(b_k, r_{k-1} + c_k)``
     along ``axis`` (static ``length``).
@@ -480,9 +490,7 @@ def _pallas_batched_set_live(ref_t_pad, live_t_pad, lens, cfg: OnlineConfig, n_s
     vmem, smem = pltpu.VMEM, pltpu.SMEM
 
     def _batched(arr_shape, mem):
-        shape = arr_shape[1:]
-        zeros = (0,) * len(shape)
-        return pl.BlockSpec((None, *shape), lambda i: (i, *zeros), memory_space=mem)
+        return _squeezed_batch_spec(tuple(arr_shape[1:]), mem)
 
     ref_spec = pl.BlockSpec(
         (None, *ref_t_pad.shape[1:]),
@@ -779,9 +787,10 @@ def _pallas_insert_block(lens, ref_t_pad, cols, w, live_t, path_x, path_y, scala
 #   (j advances ≤ k_block·loop_iters);
 # - the live history is a sliding VMEM window of l_win rows carried across
 #   launches via aliasing; the prologue shifts it so physical row 0 is
-#   virtual row t₀ (two static-size DMAs through a stage buffer; the shift
-#   distance is dynamic but ≤ k_block).  Scalar slot _S_LIVE_BASE carries
-#   the window base between launches;
+#   virtual row t₀ (one dynamic-sublane vector copy of static size — NOT a
+#   DMA: squeezed-batch refs reject rank-reducing DMA slices, and the shift
+#   distance, though dynamic, is ≤ k_block).  Scalar slot _S_LIVE_BASE
+#   carries the window base between launches;
 # - committed path points land in a small per-launch SMEM *delta* buffer
 #   (indexed plen − plen₀) instead of a device-resident full-path buffer
 #   whose SMEM footprint would scale with N; the HOST accumulates deltas
@@ -1041,9 +1050,7 @@ def _pallas_multi_insert_block_long(lens, ref_t_hbm, cols, w, live_win, scalars,
                                       r_win, batched=True, shared_ref=shared_ref)
 
     def _batched(arr, mem):
-        shape = arr.shape[1:]
-        zeros = (0,) * len(shape)
-        return pl.BlockSpec((None, *shape), lambda i: (i, *zeros), memory_space=mem)
+        return _squeezed_batch_spec(arr.shape[1:], mem)
 
     eye = jnp.eye(w_lane, dtype=jnp.float32)
     eye_spec = pl.BlockSpec(eye.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -1134,9 +1141,7 @@ def _pallas_multi_insert_block(lens, ref_t_pad, cols, w, live_t, path_x, path_y,
     kernel = _make_insert_kernel(cfg, c, w_sub, w_lane, k_block, interpret, batched=True)
 
     def _batched(arr, mem):
-        shape = arr.shape[1:]
-        zeros = (0,) * len(shape)
-        return pl.BlockSpec((None, *shape), lambda i: (i, *zeros), memory_space=mem)
+        return _squeezed_batch_spec(arr.shape[1:], mem)
 
     ref_spec = pl.BlockSpec(
         (None, *ref_t_pad.shape[1:]),

@@ -416,38 +416,30 @@ class FusedMultiStreamFollower:
         self._outstanding.append(status)
         self.poll()
 
-    # -- long-reference path-delta machinery (models/fused_streaming.py
-    # rationale: fold pending launches into one stacked array device-side so
-    # draining costs one relay read per _DELTA_STACK launches) --------------
+    # -- long-reference path-delta machinery (shared layout helpers in
+    # models/fused_streaming.py: fold pending launches into one stacked
+    # array device-side so draining costs one relay read per fold) ----------
 
     def _fold_deltas(self) -> None:
-        tail = [d for d in self._deltas[-self._delta_stack:] if isinstance(d, tuple)]
-        if len(self._deltas) < self._delta_stack or len(tail) < self._delta_stack:
-            return
-        sts = jnp.stack([t[0] for t in tail])  # (M, B, 1, 8)
-        dxs = jnp.stack([t[1] for t in tail])  # (M, B, 1, d_pad)
-        dys = jnp.stack([t[2] for t in tail])
-        stacked = jnp.concatenate([sts, dxs, dys], axis=-1)
-        del self._deltas[len(self._deltas) - len(tail):]
-        self._deltas.append(stacked)
+        from real_time_audio_sync_tpu.models.fused_streaming import fold_delta_tail
+
+        fold_delta_tail(self._deltas, self._delta_stack)
 
     def _drain_deltas(self) -> None:
-        for entry in self._deltas:
-            if isinstance(entry, tuple):
-                rows = np.concatenate([np.asarray(a) for a in entry], axis=-1)[None]
-            else:
-                rows = np.asarray(entry)
+        from real_time_audio_sync_tpu.models.fused_streaming import iter_delta_rows
+
+        for rows in iter_delta_rows(self._deltas):
+            rows = rows.reshape(rows.shape[0], self.b, -1)  # (M, B, 8 + 2·d_pad)
             d_pad = (rows.shape[-1] - 8) // 2
-            for m in range(rows.shape[0]):
-                for i in range(self.b):
-                    row = rows[m, i, 0]
-                    plen_end = int(row[1])
-                    n_new = plen_end - int(self._drained_plen[i])
-                    if n_new > 0:
-                        self._host_px[i].append(row[8 : 8 + n_new].astype(np.int32))
-                        self._host_py[i].append(row[8 + d_pad : 8 + d_pad + n_new].astype(np.int32))
-                        self._drained_plen[i] = plen_end
-        self._deltas.clear()
+            plens = rows[:, :, 1].astype(np.int64)  # (M, B), monotone per stream
+            for i in range(self.b):
+                prev = int(self._drained_plen[i])
+                n_new = np.diff(plens[:, i], prepend=prev)
+                for m in np.nonzero(n_new > 0)[0]:
+                    k = int(n_new[m])
+                    self._host_px[i].append(rows[m, i, 8 : 8 + k].astype(np.int32))
+                    self._host_py[i].append(rows[m, i, 8 + d_pad : 8 + d_pad + k].astype(np.int32))
+                self._drained_plen[i] = max(prev, int(plens[-1, i]))
 
     def poll(self) -> np.ndarray:
         """Non-blocking status refresh (mirrors the solo engines'
