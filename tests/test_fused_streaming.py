@@ -314,3 +314,29 @@ def test_long_ref_checkpoint_resume():
         with pytest.raises(ValueError, match="long_ref"):
             load_fused_state(std, ck)
     np.testing.assert_array_equal(res.path_array, xla.path_array)
+
+
+def test_long_ref_livenote_v2_variant():
+    """The long kernel honors the LiveNoteV2 config (monotone path guard +
+    Euclidean chroma-diff cost); skipped appends mean zero-commit launches,
+    which the delta drain must pass over without losing alignment."""
+    rng = np.random.default_rng(5)
+    ref, live = _make_pair(rng, n_ref=40)
+    ref_d = np.clip(np.diff(ref, axis=1), 0, np.inf)
+    live_d = np.clip(np.diff(live, axis=1), 0, np.inf)
+    from real_time_audio_sync_tpu.models import LiveNoteV2
+
+    xla = LiveNoteV2(
+        ref_d, {"search_band_width": 10, "max_run_count": 3}, chroma_diff=True, dtype=np.float32
+    )
+    for i in range(live_d.shape[1]):
+        if xla.insert(live_d[:, i]) == "stop":
+            break
+    eng = FusedStreamingEngine(
+        ref_d, PARAMS, interpret=True, long_ref=True,
+        cfg_overrides=dict(sentinel=float("inf"), run_count_init=0, monotone_path=True, euclidean=True),
+    )
+    for s in range(0, live_d.shape[1], 8):
+        eng.insert_block_nowait(live_d[:, s : s + 8])
+    eng.flush()
+    np.testing.assert_array_equal(eng.path_array, xla.path_array)
