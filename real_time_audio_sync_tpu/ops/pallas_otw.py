@@ -424,10 +424,20 @@ def _pallas_set_live(ref_t_pad, live_t_pad, lens, cfg: OnlineConfig, n_steps: in
     )(lens, ref_t_pad, live_t_pad, jnp.eye(w_lane, dtype=jnp.float32))
 
 
+# pairs whose combined frame count exceeds this delegate to the long-
+# reference STREAMING engine instead of the whole-sequence kernel (whose
+# transposed ref+live VMEM buffers, ~512 B/frame, would blow the ~16 MB
+# budget).  set_live is a scan of insert steps (otw_eran.py:91-142), so the
+# committed path is identical (tested).
+_SET_LIVE_LONG_N = 12000
+
+
 def pallas_set_live(ref, live, params, *, monotone_path=False, euclidean=False, sentinel=1e10, run_count_init=1):
     """Batch-align one pair with the fused kernel.
 
     Returns ``(path (L, 2) int32 numpy, live_ptr, ref_ptr, stopped)``.
+    Hour-scale pairs (combined frames ≥ ``_SET_LIVE_LONG_N``) run through
+    the long-reference streaming engine — same committed path, O(c) VMEM.
     """
     from real_time_audio_sync_tpu.config import OTWParams
 
@@ -449,6 +459,44 @@ def pallas_set_live(ref, live, params, *, monotone_path=False, euclidean=False, 
         raise ValueError("reference shorter than the search band")
     if f > _LANES:
         raise ValueError(f"feature dim {f} exceeds the {_LANES}-lane layout")
+
+    if n + t >= _SET_LIVE_LONG_N:
+        from real_time_audio_sync_tpu.models.fused_streaming import FusedStreamingEngine
+
+        eng = FusedStreamingEngine(
+            ref, {"c": p.c, "max_run_count": p.max_run_count},
+            cfg_overrides=dict(sentinel=sentinel, run_count_init=run_count_init,
+                               monotone_path=monotone_path, euclidean=euclidean),
+            k_block=8, long_ref=True,
+        )
+        # set_live appends best_point (0, 0) right after the origin eval,
+        # BEFORE the first row/column step (otw_eran.py:103-107) — the one
+        # place its path differs from frame-by-frame insert (verified across
+        # engines/seeds).  Seed that pre-committed point: plen/last_x/last_y
+        # so the V2 monotone guard sees set_live's exact post-(0,0) state
+        # (run_count is recomputed by the first set_direction either way).
+        sc0 = np.asarray(eng._state[2]).copy()
+        sc0[_S_PLEN] = 1
+        sc0[_S_LASTX] = 0
+        sc0[_S_LASTY] = 0
+        eng._state = (eng._state[0], eng._state[1], jax.device_put(jnp.asarray(sc0)))
+        eng._host_px = [np.asarray([0], np.int32)]
+        eng._host_py = [np.asarray([0], np.int32)]
+        eng._drained_plen = 1
+        for s in range(0, t, 8):
+            if eng.insert_block_nowait(live[:, s : s + 8]) == "stop":
+                break
+        eng.flush()
+        sc = np.asarray(eng._state[2])
+        stopped = bool(sc[_S_STOPPED])
+        # pointer convention parity: set_live's live_ptr counts one past the
+        # last frame when live runs out WITHOUT a stop (the loop's final t
+        # advance, otw_eran.py:99) and halts at the 2N live capacity
+        # (otw_eran.py:14), whereas streaming insert keeps counting frozen
+        # no-op inserts past the cap (otw_eran.py:50-54) — both are
+        # reference-faithful for their own mode; on a stop they agree
+        live_ptr = int(sc[_S_T]) if stopped else min(int(sc[_S_T]) + 1, 2 * n)
+        return eng.path_array, live_ptr, int(sc[_S_J]), stopped
 
     w_lane = _round_up(c + 1, _LANES)
     w_sub = _round_up(c + 1, _SUBLANES)

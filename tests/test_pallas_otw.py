@@ -132,3 +132,30 @@ def test_pallas_batched_set_live_shared_ref():
     for bp, bt, bj, bs in batched:
         np.testing.assert_array_equal(bp, sp)
         assert (bt, bj, bs) == (st, sj, ss)
+
+
+@pytest.mark.parametrize("seed,stretch,overrides", [
+    (31, 1.25, {}),  # otw, live exhausted without stop
+    (33, 2.6, {}),   # otw, early stop (live much longer than ref)
+    (32, 1.25, dict(sentinel=float("inf"), run_count_init=0)),  # livenote
+    (2, 1.25, dict(sentinel=float("inf"), run_count_init=0,
+                   monotone_path=True, euclidean=True)),  # livenote_v2
+    # (monotone guard; seed 2 is a case where naive [(0,0)]+insert does NOT
+    # equal set_live, so the seeded-scalar delegation is what is proven)
+])
+def test_set_live_long_pair_delegation(monkeypatch, seed, stretch, overrides):
+    """Hour-scale pairs delegate pallas_set_live to the long-reference
+    streaming engine with the identical committed path and pointer tuple
+    (forced here via the threshold on a small pair), across all engine
+    configs including the V2 monotone guard."""
+    import real_time_audio_sync_tpu.ops.pallas_otw as po
+    from tests.test_online import _make_pair
+
+    rng = np.random.default_rng(seed)
+    ref, live = _make_pair(rng, n_ref=48, stretch=stretch)
+    params = {"c": 10, "max_run_count": 3}
+    direct = po.pallas_set_live(ref, live, params, **overrides)
+    monkeypatch.setattr(po, "_SET_LIVE_LONG_N", 0)
+    delegated = po.pallas_set_live(ref, live, params, **overrides)
+    np.testing.assert_array_equal(delegated[0], direct[0])
+    assert delegated[1:] == direct[1:]
