@@ -340,3 +340,38 @@ def test_long_ref_livenote_v2_variant():
         eng.insert_block_nowait(live_d[:, s : s + 8])
     eng.flush()
     np.testing.assert_array_equal(eng.path_array, xla.path_array)
+
+
+def test_delta_fold_iter_roundtrip():
+    """fold_delta_tail + iter_delta_rows reconstruct every launch's
+    [status | dx | dy] row in dispatch order, for solo (1-D) and
+    multi-stream (B,1,X) component shapes and any fold boundary."""
+    import jax.numpy as jnp
+
+    from real_time_audio_sync_tpu.models.fused_streaming import (
+        fold_delta_tail,
+        iter_delta_rows,
+    )
+
+    rng = np.random.default_rng(40)
+    d_pad = 5
+
+    def launch(i, shape_prefix=()):
+        st = jnp.asarray(rng.integers(0, 99, size=(*shape_prefix, 8), dtype=np.int32) + 1000 * i)
+        dx = jnp.asarray(rng.integers(0, 99, size=(*shape_prefix, d_pad), dtype=np.int32))
+        dy = jnp.asarray(rng.integers(0, 99, size=(*shape_prefix, d_pad), dtype=np.int32))
+        return st, dx, dy
+
+    for prefix in ((), (3, 1)):  # solo rows / B=3 row-shaped
+        launches = [launch(i, prefix) for i in range(11)]
+        want = [np.concatenate([np.asarray(a) for a in t], axis=-1) for t in launches]
+        deltas = []
+        for t in launches:
+            deltas.append(t)
+            fold_delta_tail(deltas, 4)  # folds at every 4 pending tuples
+        assert any(not isinstance(d, tuple) for d in deltas)  # folding happened
+        got = [row for rows in iter_delta_rows(deltas) for row in rows]
+        assert not deltas  # drained
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(g, w)
