@@ -78,6 +78,8 @@ def main() -> int:
     import jax
 
     log(f"devices: {jax.devices()}")
+    global _backend_up
+    _backend_up = True  # init watchdog stands down (outages hang HERE)
 
     # relay-health preamble: the tunneled TPU's dispatch RTT and host→device
     # bandwidth vary >10x over time (multi-tenant relay; docs/STATUS.md
@@ -782,28 +784,34 @@ def _emit_result():
             print(json.dumps(_result), flush=True)
 
 
-def _init_watchdog(deadline_s: float = 1500.0) -> None:
-    """The relay has transient outages during which backend init / the first
-    compile hangs indefinitely (docs/STATUS.md).  If no headline result has
-    been computed by the deadline, emit an explicit unreachable marker so
-    the recorded bench run says WHY it has no number, then exit nonzero."""
+_backend_up = False
+
+
+def _init_watchdog(deadline_s: float = 900.0) -> None:
+    """The relay has multi-hour outages during which BACKEND INIT hangs
+    indefinitely (docs/STATUS.md; observed mid-round-3).  If jax.devices()
+    has not returned by the deadline, emit an explicit unreachable marker so
+    the recorded bench run says WHY it has no number, then exit nonzero.
+    Slow-but-alive runs (cold compile cache — a compile once took 26 min)
+    are NOT killed: once the backend is up this watchdog stands down."""
     def watch():
         time.sleep(deadline_s)
         global _result
-        if _result is None:
-            _result = {
-                "metric": "streaming_otw_rtf",
-                "value": 0.0,
-                "unit": "audio_sec/wall_sec",
-                "vs_baseline": 0.0,
-                "error": "tpu_backend_unreachable_within_deadline",
-            }
-            log(f"init watchdog: no headline after {deadline_s:.0f} s — "
-                f"TPU backend unreachable (relay outage); emitting marker")
-            _emit_result()
-            import os
+        if _backend_up or _result is not None:
+            return
+        _result = {
+            "metric": "streaming_otw_rtf",
+            "value": 0.0,
+            "unit": "audio_sec/wall_sec",
+            "vs_baseline": 0.0,
+            "error": "tpu_backend_unreachable_within_deadline",
+        }
+        log(f"init watchdog: backend not up after {deadline_s:.0f} s — "
+            f"TPU unreachable (relay outage); emitting marker")
+        _emit_result()
+        import os
 
-            os._exit(1)
+        os._exit(1)
 
     _threading.Thread(target=watch, daemon=True).start()
 
