@@ -686,7 +686,8 @@ def main() -> int:
         pH = engH.path_array
         log(f"hour-long reference (N={refH.shape[1]}, {refH.shape[1]*HOP_SEC/60:.0f} min): "
             f"long-ref kernel streams {audioH/60:.0f} min of live audio in {wH:.1f} s "
-            f"-> RTF {audioH/wH:.0f}x, {len(pH)} path pts, reached ref frame {pH[-1][1]}")
+            f"-> RTF {audioH/wH:.0f}x, {len(pH)} path pts, reached ref frame {pH[-1][1]} "
+            f"(the python reference cannot run this scale: dense (2N,N) f64 acc ~24 TB)")
     except Exception as e:
         log(f"fused OTW kernel diagnostic skipped ({e})")
 
