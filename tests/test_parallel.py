@@ -377,6 +377,33 @@ def test_fused_multistream_long_ref_mixed_refs():
         np.testing.assert_array_equal(p, solo[i])
 
 
+def test_fused_multistream_long_ref_skewed_feeds():
+    """Long-mode shared-reference serving with a half-rate stream: inactive
+    (active=False) slots mid-block leave that stream's window state frozen,
+    and committed paths are feed-skew independent and equal to solo."""
+    from real_time_audio_sync_tpu.parallel import FusedMultiStreamFollower
+
+    rng = np.random.default_rng(23)
+    ref, live = _make_pair(rng, n_ref=32, stretch=1.2)
+    solo = _solo_fused_path(ref, live)
+
+    fms = FusedMultiStreamFollower(ref, FMS_PARAMS, n_streams=2, k_block=8,
+                                   interpret=True, long_ref=True)
+    t2 = 0
+    for t in range(live.shape[1] * 2):
+        cols = np.zeros((2, 12), np.float32)
+        act = np.zeros(2, bool)
+        if t < live.shape[1]:
+            cols[0], act[0] = live[:, t], True
+        if t % 2 == 0 and t2 < live.shape[1]:
+            cols[1], act[1] = live[:, t2], True
+            t2 += 1
+        fms.feed(cols, act)
+    fms.flush()
+    for p in fms.paths():
+        np.testing.assert_array_equal(p, solo)
+
+
 def test_fused_multistream_long_ref_folding(monkeypatch):
     """Delta folding (stacked device-side reads) preserves exact paths."""
     from real_time_audio_sync_tpu.parallel import FusedMultiStreamFollower
