@@ -297,9 +297,10 @@ def main() -> int:
         # position while streaming 401 frames flat out (harvest log of the
         # headline run, in frames)
         slog = np.asarray(feed_eng.staleness_log or [0], float)
+        cap = getattr(feed_eng, "max_in_flight", None)  # fused engines only
         log(f"full-speed harvest staleness: p50 {np.percentile(slog, 50):.0f} "
             f"max {slog.max():.0f} frames over {len(slog)} harvests "
-            f"(in-flight cap {feed_eng.max_in_flight} launches x k{FEED_K})")
+            f"(in-flight cap {cap} launches x k{FEED_K})")
     except Exception as e:
         log(f"staleness diagnostic skipped ({e})")
 

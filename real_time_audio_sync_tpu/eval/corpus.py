@@ -279,6 +279,8 @@ class CorpusRunner:
         from real_time_audio_sync_tpu.models.online_core import ENGINE_OVERRIDES
         from real_time_audio_sync_tpu.ops.pallas_otw import pallas_batched_set_live
 
+        if np.dtype(self.dtype) != np.float32:
+            raise ValueError("mode='fused' runs the float32 device backends")
         feature = wav_to_chroma_diff if self.engine == "livenote_v2_diff" else wav_to_chroma
         refs, lives = [], []
         for ref_wav, live_wav in pairs:

@@ -735,6 +735,12 @@ class BandedOnlineEngine(StatusPolling):
 
     def _read_status(self, status, n_frames: int):
         self._frames_dispatched += n_frames
+        # This synchronous read covers everything dispatched so far: drop
+        # older in-flight/backgrounded vectors, else a later rate-limited
+        # harvest of one of them would regress last_point backwards.
+        self._outstanding = []
+        self._latest_done = None
+        self._harvest_future = None
         return self._consume_status(np.asarray(status))
 
     def set_live(self, live):

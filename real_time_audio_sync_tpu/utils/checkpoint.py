@@ -45,9 +45,11 @@ def save_fused_state(engine, path: str) -> None:
     scalars — models/fused_streaming.py) to ``path`` (.npz).  Long-reference
     engines (``engine.long_ref``) snapshot the sliding live window plus the
     host-accumulated path instead of device-resident path buffers (the
-    pending delta launches are drained first)."""
+    pending delta launches are drained first).  Flushes first in BOTH modes:
+    feed()'s coalesce queue may hold undispatched columns, which a snapshot
+    of the device state alone would silently lose."""
+    engine.flush()
     if getattr(engine, "long_ref", False):
-        engine.flush()
         p = engine.path_array  # drains pending deltas
         w, live_win, sc = (np.asarray(x) for x in engine._state)
         np.savez_compressed(
@@ -90,6 +92,7 @@ def load_fused_state(engine, path: str) -> None:
         engine._host_py = [p[:, 1].astype(np.int32)] if len(p) else []
         engine._drained_plen = len(p)
         engine._init_status_polling()
+        engine._pending.clear()  # queued feed() columns predate the restore
         engine._stopped_cached = bool(int(data["stopped"]))
         return
     for name, cur in zip(("w", "live_t", "path_x", "path_y", "scalars"), engine._state):
@@ -99,6 +102,7 @@ def load_fused_state(engine, path: str) -> None:
         tuple(jnp.asarray(data[n]) for n in ("w", "live_t", "path_x", "path_y", "scalars"))
     )
     engine._init_status_polling()  # no in-flight work survives a restore
+    engine._pending.clear()  # queued feed() columns predate the restore
     engine._stopped_cached = bool(int(data["stopped"]))
 
 

@@ -375,3 +375,38 @@ def test_delta_fold_iter_roundtrip():
         assert len(got) == len(want)
         for g, w in zip(got, want):
             np.testing.assert_array_equal(g, w)
+
+
+def test_checkpoint_flushes_pending_feed_frames(tmp_path):
+    """save_fused_state must not lose feed()'s coalesce-pending columns
+    (round-3 review finding): a saturated engine holds undispatched frames
+    in the host-side queue, so the snapshot flushes them first and a
+    restore clears the (already-snapshotted) queue."""
+    from real_time_audio_sync_tpu.utils.checkpoint import (
+        load_fused_state,
+        save_fused_state,
+    )
+
+    rng = np.random.default_rng(13)
+    ref, live = _make_pair(rng, n_ref=48, stretch=1.25)
+    xla = OnlineTimeWarping(ref, PARAMS, dtype=np.float32)
+    for i in range(live.shape[1]):
+        if xla.insert(live[:, i]) == "stop":
+            break
+
+    eng = FusedStreamingEngine(ref, PARAMS, k_block=8, interpret=True)
+    eng.max_in_flight = 0  # saturate the pipeline: feed() only queues
+    cut = min(live.shape[1] // 2, 4 * 8 - 1)  # below the liveness backstop
+    for i in range(cut):
+        eng.feed(live[:, i])
+    assert eng._pending  # the hazard: columns still host-side
+
+    ck = str(tmp_path / "pending.npz")
+    save_fused_state(eng, ck)
+    res = FusedStreamingEngine(ref, PARAMS, k_block=8, interpret=True)
+    load_fused_state(res, ck)
+    assert not res._pending
+    for i in range(cut, live.shape[1]):
+        res.feed(live[:, i])
+    res.flush()
+    np.testing.assert_array_equal(res.path_array, xla.path_array)

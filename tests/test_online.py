@@ -268,3 +268,31 @@ def test_dense_engine_rejects_hour_scale_reference():
     ref = np.zeros((12, 40_000), np.float32)
     with pytest.raises(ValueError, match="FusedStreamingEngine"):
         OnlineTimeWarping(ref, {"c": 50, "max_run_count": 3})
+
+
+def test_sync_read_drops_stale_inflight_status():
+    """A synchronous insert's status read covers everything dispatched so
+    far, so it must retire older in-flight vectors: harvesting one of them
+    later would regress last_point backwards (round-3 review finding)."""
+    import jax
+
+    rng = np.random.default_rng(31)
+    ref, live = _make_pair(rng, n_ref=30, stretch=1.0)
+
+    eng = OnlineTimeWarping(ref, {"c": 10, "max_run_count": 3}, dtype=np.float64)
+    eng.async_harvest = False       # deterministic: harvests consume inline
+    eng.poll_min_interval = 1000.0  # rate limit keeps the stale vector unread
+    import time
+
+    eng._last_poll_time = time.monotonic()  # arm the rate limit NOW
+    eng.insert_nowait(live[:, 0])
+    # make the stale status completed-but-unharvested
+    jax.block_until_ready([s for _, s in eng._outstanding])
+    eng.insert(live[:, 1])          # synchronous read: covers both frames
+    want = eng.last_point
+    assert eng.last_point_age_frames == 0
+    assert not eng._outstanding and eng._latest_done is None
+    eng.poll_min_interval = 0.0
+    eng.poll()                      # must have nothing stale to harvest
+    assert eng.last_point == want
+    assert eng.last_point_age_frames == 0

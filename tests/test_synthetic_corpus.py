@@ -127,3 +127,13 @@ def test_corpus_sweep_fused_online_batched(synthetic_corpus):
                 **ENGINE_OVERRIDES["livenote_v2"])
         np.testing.assert_array_equal(np.asarray(r.path), solo)
         assert r.score.pct_off_beats[3] <= 10.0
+
+
+def test_corpus_fused_mode_rejects_f64(synthetic_corpus):
+    """mode='fused' runs the float32 device backends in BOTH the batched
+    (2+ pairs) and solo paths — an f64 request must raise, not silently
+    downcast (round-3 review finding)."""
+    runner = CorpusRunner(synthetic_corpus, engine="otw", mode="fused",
+                          dtype=np.float64)
+    with pytest.raises(ValueError, match="float32"):
+        runner.evaluate(verbose=False)
