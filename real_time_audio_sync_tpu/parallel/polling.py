@@ -1,0 +1,101 @@
+"""Shared status-polling machinery for the batched (multi-stream) followers.
+
+Same measured platform facts as the solo engines' ``StatusPolling``
+(models/online_core.py): ``is_ready()`` is a free local flag check, while
+actually READING a status — even a completed one — is a relay round-trip, so
+reads are rate-limited and run on a single-slot background worker.  The
+followers' per-stream status rows are cumulative, so the newest completed
+vector subsumes everything dispatched before it.
+
+Subclasses provide ``_consume(vec)`` (apply one harvested status array to
+``self._stopped`` and friends) and may override ``_harvest_thread_name``.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+
+class BatchedStatusPolling:
+    _harvest_thread_name = "rtas-batched-harvest"
+
+    def _init_batched_polling(self) -> None:
+        self._outstanding: list = []  # in-flight status arrays, oldest first
+        self._latest_done = None  # newest completed-but-unread status
+        self.poll_min_interval = 2048 / 22050.0  # one feature hop
+        self._last_poll_time = 0.0
+        # blocking reads run on a worker thread (StatusPolling.async_harvest
+        # rationale); bookkeeping stays on the caller thread via the
+        # single-slot future, so no locks are needed
+        self._harvest_future = None
+        self._harvest_pool = None
+
+    # -- free local probes ----------------------------------------------
+
+    def _probe(self) -> None:
+        """Retire completed in-flight statuses (free local flag checks;
+        execution is in-order, so a ready entry subsumes all before it)."""
+        q = self._outstanding
+        while q and q[0].is_ready():
+            self._latest_done = q.pop(0)
+
+    def _in_flight(self) -> int:
+        self._probe()
+        return len(self._outstanding)
+
+    # -- reads (relay round-trips, rate-limited, off-thread) -------------
+
+    def _drain_harvest(self) -> None:
+        """Consume a background read that has completed (caller thread)."""
+        if self._harvest_future is not None and self._harvest_future.done():
+            vec = self._harvest_future.result()
+            self._harvest_future = None
+            self._consume(vec)
+
+    def _submit_harvest(self, done) -> None:
+        """Hand the blocking status read (a relay round-trip) to the worker
+        thread; a read already in flight wins — statuses are cumulative, a
+        newer vector will be harvested next time."""
+        if self._harvest_future is None:
+            if self._harvest_pool is None:
+                import concurrent.futures
+
+                self._harvest_pool = concurrent.futures.ThreadPoolExecutor(
+                    max_workers=1, thread_name_prefix=self._harvest_thread_name
+                )
+            self._harvest_future = self._harvest_pool.submit(
+                lambda d=done: np.asarray(d)
+            )
+
+    def _poll_status(self) -> None:
+        """Non-blocking refresh: consume a completed background read, retire
+        finished launches with free probes, and kick off a rate-limited
+        background harvest of the newest completed vector."""
+        self._drain_harvest()
+        self._probe()
+        if self._latest_done is None or self._stopped.all():
+            return
+        now = time.monotonic()
+        if now - self._last_poll_time < self.poll_min_interval:
+            return
+        self._last_poll_time = now
+        done, self._latest_done = self._latest_done, None
+        self._submit_harvest(done)
+
+    def _settle_status(self) -> None:
+        """Blocking: settle the worker first, then consume the NEWEST
+        in-flight status (waiting on the tail subsumes everything before)."""
+        if self._harvest_future is not None:
+            vec = self._harvest_future.result()
+            self._harvest_future = None
+            self._consume(vec)
+        if self._outstanding:
+            vec = np.asarray(self._outstanding[-1])
+            self._outstanding = []
+            self._latest_done = None
+            self._consume(vec)
+        elif self._latest_done is not None:
+            done, self._latest_done = self._latest_done, None
+            self._consume(np.asarray(done))

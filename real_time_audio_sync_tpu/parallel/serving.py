@@ -27,6 +27,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from real_time_audio_sync_tpu.config import OTWParams
+from real_time_audio_sync_tpu.parallel.polling import BatchedStatusPolling
 from real_time_audio_sync_tpu.models.online_core import (
     OnlineConfig,
     _insert_body,
@@ -154,7 +155,7 @@ class MultiStreamFollower:
 # ---------------------------------------------------------------------------
 
 
-class FusedMultiStreamFollower:
+class FusedMultiStreamFollower(BatchedStatusPolling):
     """Follow ``B`` live performances with the fused Pallas insert kernel —
     ONE launch per hop block for the whole batch, O(c²) banded VMEM state
     per stream instead of the XLA engine's dense (2N, N) acc matrix
@@ -185,8 +186,6 @@ class FusedMultiStreamFollower:
                  cfg_overrides: Optional[dict] = None, k_block: int = 8,
                  interpret: bool = False, mesh: Optional[Mesh] = None,
                  max_in_flight: int = 4, long_ref: Optional[bool] = None):
-        import time as _time
-
         from real_time_audio_sync_tpu.models.online_core import (
             BOTH,
             ENGINE_OVERRIDES,
@@ -206,7 +205,6 @@ class FusedMultiStreamFollower:
             _SUBLANES,
         )
 
-        self._time = _time
         p = OTWParams.from_any(params)
         over = dict(ENGINE_OVERRIDES["otw"])
         over.update(cfg_overrides or {})
@@ -314,14 +312,8 @@ class FusedMultiStreamFollower:
         self._pending: List[List[np.ndarray]] = [[] for _ in range(self.b)]
         self._stopped = np.zeros(self.b, bool)
         self._last_points = np.zeros((self.b, 3), np.int64)  # plen, x, y
-        self._outstanding: list = []
-        self._latest_done = None
-        self.poll_min_interval = 2048 / 22050.0
-        self._last_poll_time = 0.0
         self.dispatched_block_sizes: List[int] = []
-        # off-thread blocking reads (StatusPolling.async_harvest rationale)
-        self._harvest_future = None
-        self._harvest_pool = None
+        self._init_batched_polling()
 
     def _build_step(self):
         from real_time_audio_sync_tpu.ops.pallas_otw import (
@@ -359,9 +351,13 @@ class FusedMultiStreamFollower:
         )
         inner = jax.jit(inner, donate_argnums=tuple(range(3, 3 + n_state)))
 
+        # loop-invariant: lens (B, 1, 4) and cols (B, k_pad, f_pad) share one
+        # rank-3 batch sharding — built once, not per hop-block dispatch
+        batch3 = NamedSharding(mesh, P(axes, None, None))
+
         def step(lens, cols, state):
-            put = batch_axis_sharding_put(mesh)
-            return inner(put(lens), self._ref_dev, put(cols), *state)
+            return inner(jax.device_put(lens, batch3), self._ref_dev,
+                         jax.device_put(cols, batch3), *state)
         return step
 
     # -- streaming API -------------------------------------------------------
@@ -449,37 +445,8 @@ class FusedMultiStreamFollower:
         Returns the per-stream stopped mask.  Called on every :meth:`feed`
         and on ``stopped``/``last_points`` access, so status progresses even
         while no new columns are being dispatched."""
-        self._drain_harvest()
-        self._probe()
-        if self._latest_done is not None and not self._stopped.all():
-            now = self._time.monotonic()
-            if now - self._last_poll_time >= self.poll_min_interval:
-                self._last_poll_time = now
-                done, self._latest_done = self._latest_done, None
-                if self._harvest_future is None:
-                    if self._harvest_pool is None:
-                        import concurrent.futures
-
-                        self._harvest_pool = concurrent.futures.ThreadPoolExecutor(
-                            max_workers=1, thread_name_prefix="rtas-fms-harvest")
-                    self._harvest_future = self._harvest_pool.submit(
-                        lambda d=done: np.asarray(d))
+        self._poll_status()
         return self._stopped.copy()
-
-    def _drain_harvest(self) -> None:
-        if self._harvest_future is not None and self._harvest_future.done():
-            vec = self._harvest_future.result()
-            self._harvest_future = None
-            self._consume(vec)
-
-    def _probe(self) -> None:
-        q = self._outstanding
-        while q and q[0].is_ready():
-            self._latest_done = q.pop(0)
-
-    def _in_flight(self) -> int:
-        self._probe()
-        return len(self._outstanding)
 
     def _consume(self, vec: np.ndarray) -> None:
         vec = vec.reshape(self.b, -1)  # (B, 1, 8) row-shaped status
@@ -493,18 +460,7 @@ class FusedMultiStreamFollower:
         returns the final per-stream stopped mask."""
         while any(self._pending):
             self._dispatch()
-        if self._harvest_future is not None:  # settle the worker first
-            vec = self._harvest_future.result()
-            self._harvest_future = None
-            self._consume(vec)
-        if self._outstanding:
-            vec = np.asarray(self._outstanding[-1])
-            self._outstanding = []
-            self._latest_done = None
-            self._consume(vec)
-        elif self._latest_done is not None:
-            done, self._latest_done = self._latest_done, None
-            self._consume(np.asarray(done))
+        self._settle_status()
         return self._stopped.copy()
 
     # -- inspection ----------------------------------------------------------

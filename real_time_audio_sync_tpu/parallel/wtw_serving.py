@@ -23,7 +23,6 @@ committed path is independent of how the other streams' audio arrives).
 
 from __future__ import annotations
 
-import time
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -37,6 +36,7 @@ from real_time_audio_sync_tpu.features.chroma import (
     host_chroma_frames,
 )
 from real_time_audio_sync_tpu.models.wtw import SampleFIFO
+from real_time_audio_sync_tpu.parallel.polling import BatchedStatusPolling
 from real_time_audio_sync_tpu.models.wtw_async import (
     _W_CHROMA,
     _W_LIVE,
@@ -52,7 +52,7 @@ from real_time_audio_sync_tpu.parallel.serving import (
 from real_time_audio_sync_tpu.utils.wavio import load_wav
 
 
-class MultiStreamWTW:
+class MultiStreamWTW(BatchedStatusPolling):
     """Follow ``B`` raw-audio streams concurrently, one dispatch per block.
 
     ``refs``: per-stream reference recordings (wav paths or 1-D sample
@@ -149,20 +149,9 @@ class MultiStreamWTW:
         self._frontend_consts = frontend_constants(self.fft_len, 22050, self.dtype)
 
         self.bufs = [SampleFIFO(self.dtype) for _ in range(self.b)]
-        self._outstanding: list = []  # in-flight (B, 4) status arrays, oldest first
-        self._latest_done = None  # newest completed-but-unread status
         self._stopped = np.zeros(self.b, bool)
         self._span_len = (self.k_block - 1) * self.hop_size + self.fft_len
-        # is_ready PROBES are free local flag checks; actually READING a
-        # status is a relay round-trip, so harvests are rate-limited (same
-        # design as models/online_core.StatusPolling)
-        self.poll_min_interval = 2048 / 22050.0  # one feature hop
-        self._last_poll_time = 0.0
-        # blocking reads run on a worker thread (models/online_core.
-        # StatusPolling.async_harvest rationale); bookkeeping stays on the
-        # caller thread via the single-slot future
-        self._harvest_future = None
-        self._harvest_pool = None
+        self._init_batched_polling()
 
     # ------------------------------------------------------------------
     def _avail_cols(self, i: int) -> int:
@@ -207,36 +196,9 @@ class MultiStreamWTW:
         )
         self._state = (px, py, sc)
         self._outstanding.append(status)
-        self._drain_harvest()
-        self._probe()
-        # harvest the newest COMPLETED status (an actual relay read) at most
-        # once per poll_min_interval — the read itself runs off-thread
-        if self._latest_done is not None and not self._stopped.all():
-            now = time.monotonic()
-            if now - self._last_poll_time >= self.poll_min_interval:
-                self._last_poll_time = now
-                done, self._latest_done = self._latest_done, None
-                if self._harvest_future is None:
-                    if self._harvest_pool is None:
-                        import concurrent.futures
+        self._poll()
 
-                        self._harvest_pool = concurrent.futures.ThreadPoolExecutor(
-                            max_workers=1, thread_name_prefix="rtas-wtw-harvest")
-                    self._harvest_future = self._harvest_pool.submit(
-                        lambda d=done: np.asarray(d))
-
-    def _drain_harvest(self) -> None:
-        if self._harvest_future is not None and self._harvest_future.done():
-            vec = self._harvest_future.result()
-            self._harvest_future = None
-            self._consume(vec)
-
-    def _probe(self) -> None:
-        """Retire completed in-flight statuses (free local flag checks;
-        execution is in-order, so a ready entry subsumes all before it)."""
-        q = self._outstanding
-        while q and q[0].is_ready():
-            self._latest_done = q.pop(0)
+    _harvest_thread_name = "rtas-wtw-harvest"
 
     def insert(self, stream_bufs: Sequence) -> np.ndarray:
         """Append raw samples per stream (``None`` = no new audio) and
@@ -259,29 +221,9 @@ class MultiStreamWTW:
 
     def _poll(self, block: bool = False) -> None:
         if block:
-            if self._harvest_future is not None:  # settle the worker first
-                vec = self._harvest_future.result()
-                self._harvest_future = None
-                self._consume(vec)
-            if self._outstanding:
-                vec = np.asarray(self._outstanding[-1])  # waits for the tail
-                self._outstanding = []
-                self._latest_done = None
-                self._consume(vec)
-            elif self._latest_done is not None:
-                done, self._latest_done = self._latest_done, None
-                self._consume(np.asarray(done))
+            self._settle_status()
             return
-        self._drain_harvest()
-        self._probe()
-        if self._latest_done is None:
-            return
-        now = time.monotonic()
-        if now - self._last_poll_time < self.poll_min_interval:
-            return
-        self._last_poll_time = now
-        done, self._latest_done = self._latest_done, None
-        self._consume(np.asarray(done))
+        self._poll_status()
 
     def _consume(self, vec: np.ndarray) -> None:
         self._stopped |= (vec[:, 0] & 1).astype(bool)
