@@ -175,6 +175,32 @@ class FusedStreamingEngine(StatusPolling):
         self.max_in_flight = 4
         self.dispatched_block_sizes: list = []  # diagnostics (coalescing histogram)
 
+    def seed_origin_point(self) -> None:
+        """Pre-commit the (0, 0) best point that set_live appends right
+        after the origin eval, BEFORE the first row/column step
+        (otw_eran.py:103-107) — the one place the batch-mode path differs
+        from frame-by-frame insert.  Seeds plen/last_x/last_y so the V2
+        monotone guard sees set_live's exact post-(0,0) state (run_count is
+        recomputed by the first set_direction either way).  Owns the state
+        layout so callers (ops.pallas_otw's long-pair set_live delegation)
+        never reach into engine internals.  Fresh engines only."""
+        if self._frames_dispatched or self._pending:
+            raise RuntimeError("seed_origin_point requires a fresh engine")
+        sc0 = np.asarray(self._state[-1]).copy()
+        sc0[_S_PLEN] = 1
+        sc0[_S_LASTX] = 0
+        sc0[_S_LASTY] = 0
+        sc_dev = jax.device_put(jnp.asarray(sc0))
+        if self.long_ref:
+            self._state = (*self._state[:2], sc_dev)
+            self._host_px = [np.asarray([0], np.int32)]
+            self._host_py = [np.asarray([0], np.int32)]
+            self._drained_plen = 1
+        else:
+            # path_x/path_y are zero-initialized, so slot 0 already reads
+            # (0, 0) — only the scalars need the committed length
+            self._state = (*self._state[:4], sc_dev)
+
     # -- pipelined streaming API (mirrors BandedOnlineEngine) ----------------
 
     def insert_block_nowait(self, cols):

@@ -223,6 +223,9 @@ class StatusPolling:
         """Wait for all in-flight inserts; returns ``"stop"`` or None."""
         return self.poll(block=True)
 
+    #: message raised on the status overflow flag (engines override)
+    _overflow_msg = "column-phase loop bound violated"
+
     def _consume_status(self, vec, frames: Optional[int] = None):
         if frames is None:  # synchronous read: covers everything dispatched
             frames = self._frames_dispatched
@@ -231,7 +234,7 @@ class StatusPolling:
         flags = int(vec[0])
         self._last_point = (int(vec[1]), int(vec[2]), int(vec[3]))
         if flags & 2:  # pragma: no cover - design invariant
-            raise AssertionError("column-phase loop bound violated")
+            raise AssertionError(self._overflow_msg)
         if flags & 1:
             self._stopped_cached = True
             # post-stop state is frozen; drop older in-flight vectors and

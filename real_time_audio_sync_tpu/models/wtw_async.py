@@ -509,22 +509,9 @@ class AsyncWTW(StatusPolling):
             self._dispatch(k)
         return self.poll(block=True)
 
-    def _consume_status(self, vec, frames=None):
-        if frames is None:
-            frames = self._frames_dispatched
-        self.staleness_log.append(self._frames_dispatched - frames)
-        self._last_point_frames = frames
-        flags = int(vec[0])
-        self._last_point = (int(vec[1]), int(vec[2]), int(vec[3]))
-        if flags & 2:  # pragma: no cover - capacity is an exact upper bound
-            raise AssertionError("AsyncWTW path buffer overflow")
-        if flags & 1:
-            self._stopped_cached = True
-            self._outstanding = []
-            self._latest_done = None
-            self._harvest_future = None
-            return "stop"
-        return None
+    # capacity is an exact upper bound; the shared StatusPolling machinery
+    # raises this on the status overflow flag
+    _overflow_msg = "AsyncWTW path buffer overflow"
 
     # -- inspection (each synchronizes) ---------------------------------
     @property

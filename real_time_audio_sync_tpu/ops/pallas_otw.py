@@ -293,7 +293,7 @@ def _build_ops(cfg: OnlineConfig, c: int, w_sub: int, w_lane: int,
 # ---------------------------------------------------------------------------
 
 
-def _make_set_live_kernel(cfg: OnlineConfig, c: int, w_sub: int, w_lane: int, n_steps: int, debug_window: bool = False, batched: bool = False):
+def _make_set_live_kernel(cfg: OnlineConfig, c: int, w_sub: int, w_lane: int, n_steps: int, batched: bool = False):
     def kernel(
         lens_ref,  # SMEM (2,): [live_len, ref_len]  ((1, 2) when batched)
         ref_ref,  # VMEM (c + n_pad + w_lane, 128): ref^T, row j+c ↔ ref col j
@@ -302,13 +302,8 @@ def _make_set_live_kernel(cfg: OnlineConfig, c: int, w_sub: int, w_lane: int, n_
         path_x_ref,  # SMEM (p_pad,) int32  ((1, p_pad) when batched)
         path_y_ref,  # SMEM (p_pad,) int32
         out_scalars_ref,  # SMEM (8,) int32: plen, t, j, stopped
-        *rest,  # [w_out_ref (debug)], w_ref scratch
+        w_ref,  # VMEM scratch: band-relative (c+1)x(c+1) acc window
     ):
-        if debug_window:
-            w_out_ref, w_ref = rest
-        else:
-            (w_ref,) = rest
-            w_out_ref = None
         if batched:  # row-shaped SMEM blocks (see _make_insert_kernel)
             ld = lambda r, i: r[0, i]
 
@@ -384,19 +379,17 @@ def _make_set_live_kernel(cfg: OnlineConfig, c: int, w_sub: int, w_lane: int, n_
         st(out_scalars_ref, 1, t)
         st(out_scalars_ref, 2, j)
         st(out_scalars_ref, 3, (j >= ref_len).astype(jnp.int32))
-        if w_out_ref is not None:
-            w_out_ref[:] = w_ref[:]
 
     return kernel
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_steps", "debug_window"))
-def _pallas_set_live(ref_t_pad, live_t_pad, lens, cfg: OnlineConfig, n_steps: int, debug_window: bool = False):
+@partial(jax.jit, static_argnames=("cfg", "n_steps"))
+def _pallas_set_live(ref_t_pad, live_t_pad, lens, cfg: OnlineConfig, n_steps: int):
     c = cfg.c
     w_lane = _round_up(c + 1, _LANES)
     w_sub = _round_up(c + 1, _SUBLANES)
     p_pad = _round_up(n_steps + 8, _LANES)
-    kernel = _make_set_live_kernel(cfg, c, w_sub, w_lane, n_steps, debug_window)
+    kernel = _make_set_live_kernel(cfg, c, w_sub, w_lane, n_steps)
     out_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -407,9 +400,6 @@ def _pallas_set_live(ref_t_pad, live_t_pad, lens, cfg: OnlineConfig, n_steps: in
         jax.ShapeDtypeStruct((p_pad,), jnp.int32),
         jax.ShapeDtypeStruct((8,), jnp.int32),
     ]
-    if debug_window:
-        out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((w_sub, w_lane), jnp.float32))
     return pl.pallas_call(
         kernel,
         in_specs=[
@@ -472,17 +462,8 @@ def pallas_set_live(ref, live, params, *, monotone_path=False, euclidean=False, 
         # set_live appends best_point (0, 0) right after the origin eval,
         # BEFORE the first row/column step (otw_eran.py:103-107) — the one
         # place its path differs from frame-by-frame insert (verified across
-        # engines/seeds).  Seed that pre-committed point: plen/last_x/last_y
-        # so the V2 monotone guard sees set_live's exact post-(0,0) state
-        # (run_count is recomputed by the first set_direction either way).
-        sc0 = np.asarray(eng._state[2]).copy()
-        sc0[_S_PLEN] = 1
-        sc0[_S_LASTX] = 0
-        sc0[_S_LASTY] = 0
-        eng._state = (eng._state[0], eng._state[1], jax.device_put(jnp.asarray(sc0)))
-        eng._host_px = [np.asarray([0], np.int32)]
-        eng._host_py = [np.asarray([0], np.int32)]
-        eng._drained_plen = 1
+        # engines/seeds); the engine owns the seeding of that state.
+        eng.seed_origin_point()
         for s in range(0, t, 8):
             if eng.insert_block_nowait(live[:, s : s + 8]) == "stop":
                 break
@@ -600,6 +581,26 @@ def pallas_batched_set_live(refs, lives, params, *, monotone_path=False, euclide
     if f > _LANES:
         raise ValueError(f"feature dim {f} exceeds the {_LANES}-lane layout")
 
+    if n_max + t_max >= _SET_LIVE_LONG_N:
+        # the batched kernel's whole-sequence VMEM buffers scale with the
+        # PADDED lengths (~512 B/frame/pair) and would blow the VMEM budget
+        # exactly where solo pallas_set_live starts delegating — so delegate
+        # per pair too (long pairs run the O(c)-VMEM long-reference engine);
+        # the per-pair results contract is preserved by construction
+        import contextlib
+
+        ctx = (pltpu.force_tpu_interpret_mode() if interpret
+               else contextlib.nullcontext())
+        with ctx:
+            return [
+                pallas_set_live(
+                    r, l, params, monotone_path=monotone_path,
+                    euclidean=euclidean, sentinel=sentinel,
+                    run_count_init=run_count_init,
+                )
+                for r, l in zip(refs, lives)
+            ]
+
     w_lane = _round_up(c + 1, _LANES)
     w_sub = _round_up(c + 1, _SUBLANES)
     shared = b > 1 and all(r.shape == refs[0].shape and np.array_equal(r, refs[0]) for r in refs[1:])
@@ -640,9 +641,112 @@ def pallas_batched_set_live(refs, lives, params, *, monotone_path=False, euclide
 _N_SCALARS = 16
 
 
-def _make_insert_kernel(cfg: OnlineConfig, c: int, w_sub: int, w_lane: int, k_block: int, interpret: bool, batched: bool = False):
-    sentinel = np.float32(cfg.sentinel)
+def _insert_block_body(cfg: OnlineConfig, k_block: int, ld, st, lens_ref,
+                       cols_ref, live_ref, sc_ref, status_ref, ops, c: int,
+                       live_base=0):
+    """The K-insert state machine shared by the standard and long insert
+    kernels: the per-insert row step, the bounded column phase
+    (otw_eran.py:38-85), the 11-field scalar carry across the block, and
+    the scalar-state + status epilogue.  ``live_base`` is the virtual live
+    row at physical row 0 — 0 for the whole-history standard kernel, the
+    sliding-window base for the long kernel (the ONLY difference between
+    the two bodies)."""
+    live_cap = ld(lens_ref, 0)
+    ref_len = ld(lens_ref, 1)
+    n_valid = ld(lens_ref, 2)
 
+    def insert(k, carry):
+        t, j, rc, prev, plen, lastx, lasty, first, stopped, direction, overflow_in = carry
+        alive = (k < n_valid) & ~stopped
+        is_first = alive & first
+
+        # --- first insert: live[:, 0] ← col, eval origin (otw_eran.py:43-48)
+        @pl.when(is_first)
+        def _():
+            live_ref[pl.ds(c - live_base, 1), :] = cols_ref[pl.ds(k, 1), :]
+            ops["eval_origin"]()
+
+        first = first & ~is_first
+
+        # --- normal insert: advance t; "ran out of room" keeps
+        # incrementing t and does nothing else (otw_eran.py:50-54)
+        is_normal = alive & ~is_first
+        t_new = jnp.where(is_normal, t + 1, t)
+        do_row = is_normal & (t_new < live_cap)
+
+        @pl.when(do_row)
+        def _():
+            live_ref[pl.ds(t_new + c - live_base, 1), :] = cols_ref[pl.ds(k, 1), :]
+            ops["row_update"](t_new, j)
+
+        # --- column phase (otw_eran.py:64-85): bounded loop; consecutive
+        # Column directions cap at max_run_count (models/online_core.py)
+        def phase(_, ph):
+            j2, rc2, prev2, plen2, lx2, ly2, stopped2, active, d2 = ph
+            do_col = active & (d2 != ROW)
+            j_new = jnp.where(do_col, j2 + 1, j2)
+            new_stop = do_col & (j_new >= ref_len)
+            do_eval = do_col & ~new_stop
+
+            @pl.when(do_eval)
+            def _():
+                ops["col_update"](t_new, j_new)
+
+            stopped3 = stopped2 | new_stop
+            do_dir = active & ~new_stop
+
+            def with_dir(args):
+                j_new, rc2, prev2, plen2, lx2, ly2 = args
+                d3, rc3, prev3, plen3, lx3, ly3 = ops["set_direction"](
+                    t_new, j_new, rc2, prev2, plen2, lx2, ly2
+                )
+                return j_new, rc3, prev3, plen3, lx3, ly3, d3
+
+            def no_dir(args):
+                j_new, rc2, prev2, plen2, lx2, ly2 = args
+                return j_new, rc2, prev2, plen2, lx2, ly2, d2
+
+            j_new, rc2, prev2, plen2, lx2, ly2, d3 = lax.cond(
+                do_dir, with_dir, no_dir, (j_new, rc2, prev2, plen2, lx2, ly2)
+            )
+            active = do_dir & (d3 == COL)
+            return j_new, rc2, prev2, plen2, lx2, ly2, stopped3, active, d3
+
+        ph = (j, rc, prev, plen, lastx, lasty, stopped, do_row, direction)
+        j, rc, prev, plen, lastx, lasty, stopped, still_active, direction = lax.fori_loop(
+            0, cfg.loop_iters, phase, ph
+        )
+        overflow = overflow_in | still_active  # loop bound violated (never, by design)
+        return t_new, j, rc, prev, plen, lastx, lasty, first, stopped, direction, overflow
+
+    carry = (
+        ld(sc_ref, _S_T), ld(sc_ref, _S_J), ld(sc_ref, _S_RC), ld(sc_ref, _S_PREV),
+        ld(sc_ref, _S_PLEN), ld(sc_ref, _S_LASTX), ld(sc_ref, _S_LASTY),
+        ld(sc_ref, _S_FIRST) != 0, ld(sc_ref, _S_STOPPED) != 0, ld(sc_ref, _S_DIR),
+        ld(sc_ref, _S_OVERFLOW) != 0,  # sticky across launches — a violated
+        # loop bound must survive until the (rate-limited) status read
+    )
+    t, j, rc, prev, plen, lastx, lasty, first, stopped, direction, overflow = lax.fori_loop(
+        0, k_block, insert, carry
+    )
+    st(sc_ref, _S_T, t)
+    st(sc_ref, _S_J, j)
+    st(sc_ref, _S_RC, rc)
+    st(sc_ref, _S_PREV, prev)
+    st(sc_ref, _S_PLEN, plen)
+    st(sc_ref, _S_LASTX, lastx)
+    st(sc_ref, _S_LASTY, lasty)
+    st(sc_ref, _S_FIRST, first.astype(jnp.int32))
+    st(sc_ref, _S_STOPPED, stopped.astype(jnp.int32))
+    st(sc_ref, _S_DIR, direction)
+    st(sc_ref, _S_OVERFLOW, overflow.astype(jnp.int32))
+    st(status_ref, 0, stopped.astype(jnp.int32) | (overflow.astype(jnp.int32) << 1))
+    st(status_ref, 1, plen)
+    st(status_ref, 2, lastx)
+    st(status_ref, 3, lasty)
+
+
+def _make_insert_kernel(cfg: OnlineConfig, c: int, w_sub: int, w_lane: int, k_block: int, interpret: bool, batched: bool = False):
     def kernel(
         lens_ref,  # SMEM (4,): [live_cap, ref_len, n_valid, 0]
         ref_ref,  # VMEM ref^T (c leading pad rows)
@@ -688,101 +792,9 @@ def _make_insert_kernel(cfg: OnlineConfig, c: int, w_sub: int, w_lane: int, k_bl
             del px_in, py_in
         for _s in range(_N_SCALARS):
             st(sc_ref, _s, ld(sc_in, _s))
-        live_cap = ld(lens_ref, 0)
-        ref_len = ld(lens_ref, 1)
-        n_valid = ld(lens_ref, 2)
-
         ops = _build_ops(cfg, c, w_sub, w_lane, w_ref, ref_ref, live_ref, eye_ref, path_store)
-
-        def insert(k, carry):
-            t, j, rc, prev, plen, lastx, lasty, first, stopped, direction, overflow_in = carry
-            alive = (k < n_valid) & ~stopped
-            is_first = alive & first
-
-            # --- first insert: live[:, 0] ← col, eval origin (otw_eran.py:43-48)
-            @pl.when(is_first)
-            def _():
-                live_ref[pl.ds(c, 1), :] = cols_ref[pl.ds(k, 1), :]
-                ops["eval_origin"]()
-
-            first = first & ~is_first
-
-            # --- normal insert: advance t; "ran out of room" keeps
-            # incrementing t and does nothing else (otw_eran.py:50-54)
-            is_normal = alive & ~is_first
-            t_new = jnp.where(is_normal, t + 1, t)
-            do_row = is_normal & (t_new < live_cap)
-
-            @pl.when(do_row)
-            def _():
-                live_ref[pl.ds(t_new + c, 1), :] = cols_ref[pl.ds(k, 1), :]
-                ops["row_update"](t_new, j)
-
-            # --- column phase (otw_eran.py:64-85): bounded loop; consecutive
-            # Column directions cap at max_run_count (models/online_core.py)
-            def phase(_, ph):
-                j2, rc2, prev2, plen2, lx2, ly2, stopped2, active, d2 = ph
-                do_col = active & (d2 != ROW)
-                j_new = jnp.where(do_col, j2 + 1, j2)
-                new_stop = do_col & (j_new >= ref_len)
-                do_eval = do_col & ~new_stop
-
-                @pl.when(do_eval)
-                def _():
-                    ops["col_update"](t_new, j_new)
-
-                stopped3 = stopped2 | new_stop
-                do_dir = active & ~new_stop
-
-                def with_dir(args):
-                    j_new, rc2, prev2, plen2, lx2, ly2 = args
-                    d3, rc3, prev3, plen3, lx3, ly3 = ops["set_direction"](
-                        t_new, j_new, rc2, prev2, plen2, lx2, ly2
-                    )
-                    return j_new, rc3, prev3, plen3, lx3, ly3, d3
-
-                def no_dir(args):
-                    j_new, rc2, prev2, plen2, lx2, ly2 = args
-                    return j_new, rc2, prev2, plen2, lx2, ly2, d2
-
-                j_new, rc2, prev2, plen2, lx2, ly2, d3 = lax.cond(
-                    do_dir, with_dir, no_dir, (j_new, rc2, prev2, plen2, lx2, ly2)
-                )
-                active = do_dir & (d3 == COL)
-                return j_new, rc2, prev2, plen2, lx2, ly2, stopped3, active, d3
-
-            ph = (j, rc, prev, plen, lastx, lasty, stopped, do_row, direction)
-            j, rc, prev, plen, lastx, lasty, stopped, still_active, direction = lax.fori_loop(
-                0, cfg.loop_iters, phase, ph
-            )
-            overflow = overflow_in | still_active  # loop bound violated (never, by design)
-            return t_new, j, rc, prev, plen, lastx, lasty, first, stopped, direction, overflow
-
-        carry = (
-            ld(sc_ref, _S_T), ld(sc_ref, _S_J), ld(sc_ref, _S_RC), ld(sc_ref, _S_PREV),
-            ld(sc_ref, _S_PLEN), ld(sc_ref, _S_LASTX), ld(sc_ref, _S_LASTY),
-            ld(sc_ref, _S_FIRST) != 0, ld(sc_ref, _S_STOPPED) != 0, ld(sc_ref, _S_DIR),
-            ld(sc_ref, _S_OVERFLOW) != 0,  # sticky across launches — a violated
-            # loop bound must survive until the (rate-limited) status read
-        )
-        t, j, rc, prev, plen, lastx, lasty, first, stopped, direction, overflow = lax.fori_loop(
-            0, k_block, insert, carry
-        )
-        st(sc_ref, _S_T, t)
-        st(sc_ref, _S_J, j)
-        st(sc_ref, _S_RC, rc)
-        st(sc_ref, _S_PREV, prev)
-        st(sc_ref, _S_PLEN, plen)
-        st(sc_ref, _S_LASTX, lastx)
-        st(sc_ref, _S_LASTY, lasty)
-        st(sc_ref, _S_FIRST, first.astype(jnp.int32))
-        st(sc_ref, _S_STOPPED, stopped.astype(jnp.int32))
-        st(sc_ref, _S_DIR, direction)
-        st(sc_ref, _S_OVERFLOW, overflow.astype(jnp.int32))
-        st(status_ref, 0, stopped.astype(jnp.int32) | (overflow.astype(jnp.int32) << 1))
-        st(status_ref, 1, plen)
-        st(status_ref, 2, lastx)
-        st(status_ref, 3, lasty)
+        _insert_block_body(cfg, k_block, ld, st, lens_ref, cols_ref, live_ref,
+                           sc_ref, status_ref, ops, c)
 
     return kernel
 
@@ -897,9 +909,6 @@ def _make_insert_kernel_long(cfg: OnlineConfig, c: int, w_sub: int, w_lane: int,
 
         for _s in range(_N_SCALARS):
             st(sc_ref, _s, ld(sc_in, _s))
-        live_cap = ld(lens_ref, 0)
-        ref_len = ld(lens_ref, 1)
-        n_valid = ld(lens_ref, 2)
         t0 = ld(sc_ref, _S_T)
         j0 = ld(sc_ref, _S_J)
         plen0 = ld(sc_ref, _S_PLEN)
@@ -939,90 +948,8 @@ def _make_insert_kernel_long(cfg: OnlineConfig, c: int, w_sub: int, w_lane: int,
 
         ops = _build_ops(cfg, c, w_sub, w_lane, w_ref, ref_view, live_ref,
                          eye_ref, path_store, live_off=new_base, ref_off=ref_base)
-
-        def insert(k, carry):
-            t, j, rc, prev, plen, lastx, lasty, first, stopped, direction, overflow_in = carry
-            alive = (k < n_valid) & ~stopped
-            is_first = alive & first
-
-            @pl.when(is_first)
-            def _():
-                live_ref[pl.ds(c - new_base, 1), :] = cols_ref[pl.ds(k, 1), :]
-                ops["eval_origin"]()
-
-            first = first & ~is_first
-
-            is_normal = alive & ~is_first
-            t_new = jnp.where(is_normal, t + 1, t)
-            do_row = is_normal & (t_new < live_cap)
-
-            @pl.when(do_row)
-            def _():
-                live_ref[pl.ds(t_new + c - new_base, 1), :] = cols_ref[pl.ds(k, 1), :]
-                ops["row_update"](t_new, j)
-
-            def phase(_, ph):
-                j2, rc2, prev2, plen2, lx2, ly2, stopped2, active, d2 = ph
-                do_col = active & (d2 != ROW)
-                j_new = jnp.where(do_col, j2 + 1, j2)
-                new_stop = do_col & (j_new >= ref_len)
-                do_eval = do_col & ~new_stop
-
-                @pl.when(do_eval)
-                def _():
-                    ops["col_update"](t_new, j_new)
-
-                stopped3 = stopped2 | new_stop
-                do_dir = active & ~new_stop
-
-                def with_dir(args):
-                    j_new, rc2, prev2, plen2, lx2, ly2 = args
-                    d3, rc3, prev3, plen3, lx3, ly3 = ops["set_direction"](
-                        t_new, j_new, rc2, prev2, plen2, lx2, ly2
-                    )
-                    return j_new, rc3, prev3, plen3, lx3, ly3, d3
-
-                def no_dir(args):
-                    j_new, rc2, prev2, plen2, lx2, ly2 = args
-                    return j_new, rc2, prev2, plen2, lx2, ly2, d2
-
-                j_new, rc2, prev2, plen2, lx2, ly2, d3 = lax.cond(
-                    do_dir, with_dir, no_dir, (j_new, rc2, prev2, plen2, lx2, ly2)
-                )
-                active = do_dir & (d3 == COL)
-                return j_new, rc2, prev2, plen2, lx2, ly2, stopped3, active, d3
-
-            ph = (j, rc, prev, plen, lastx, lasty, stopped, do_row, direction)
-            j, rc, prev, plen, lastx, lasty, stopped, still_active, direction = lax.fori_loop(
-                0, cfg.loop_iters, phase, ph
-            )
-            overflow = overflow_in | still_active
-            return t_new, j, rc, prev, plen, lastx, lasty, first, stopped, direction, overflow
-
-        carry = (
-            ld(sc_ref, _S_T), ld(sc_ref, _S_J), ld(sc_ref, _S_RC), ld(sc_ref, _S_PREV),
-            ld(sc_ref, _S_PLEN), ld(sc_ref, _S_LASTX), ld(sc_ref, _S_LASTY),
-            ld(sc_ref, _S_FIRST) != 0, ld(sc_ref, _S_STOPPED) != 0, ld(sc_ref, _S_DIR),
-            ld(sc_ref, _S_OVERFLOW) != 0,
-        )
-        t, j, rc, prev, plen, lastx, lasty, first, stopped, direction, overflow = lax.fori_loop(
-            0, k_block, insert, carry
-        )
-        st(sc_ref, _S_T, t)
-        st(sc_ref, _S_J, j)
-        st(sc_ref, _S_RC, rc)
-        st(sc_ref, _S_PREV, prev)
-        st(sc_ref, _S_PLEN, plen)
-        st(sc_ref, _S_LASTX, lastx)
-        st(sc_ref, _S_LASTY, lasty)
-        st(sc_ref, _S_FIRST, first.astype(jnp.int32))
-        st(sc_ref, _S_STOPPED, stopped.astype(jnp.int32))
-        st(sc_ref, _S_DIR, direction)
-        st(sc_ref, _S_OVERFLOW, overflow.astype(jnp.int32))
-        st(status_ref, 0, stopped.astype(jnp.int32) | (overflow.astype(jnp.int32) << 1))
-        st(status_ref, 1, plen)
-        st(status_ref, 2, lastx)
-        st(status_ref, 3, lasty)
+        _insert_block_body(cfg, k_block, ld, st, lens_ref, cols_ref, live_ref,
+                           sc_ref, status_ref, ops, c, live_base=new_base)
 
     return kernel
 

@@ -159,3 +159,23 @@ def test_set_live_long_pair_delegation(monkeypatch, seed, stretch, overrides):
     delegated = po.pallas_set_live(ref, live, params, **overrides)
     np.testing.assert_array_equal(delegated[0], direct[0])
     assert delegated[1:] == direct[1:]
+
+
+def test_batched_set_live_long_pair_delegation(monkeypatch):
+    """Hour-scale batches delegate pallas_batched_set_live per pair (the
+    batched kernel's whole-sequence VMEM layout scales with the PADDED
+    lengths), preserving the exact per-pair pallas_set_live contract."""
+    import real_time_audio_sync_tpu.ops.pallas_otw as po
+    from tests.test_online import _make_pair
+
+    rng = np.random.default_rng(7)
+    pairs = [_make_pair(rng, n_ref=32 + 8 * i, stretch=1.0 + 0.2 * i)
+             for i in range(3)]
+    params = {"c": 10, "max_run_count": 3}
+    direct = [po.pallas_set_live(r, l, params) for r, l in pairs]
+    monkeypatch.setattr(po, "_SET_LIVE_LONG_N", 0)
+    delegated = po.pallas_batched_set_live(
+        [r for r, _ in pairs], [l for _, l in pairs], params)
+    for want, got in zip(direct, delegated):
+        np.testing.assert_array_equal(got[0], want[0])
+        assert got[1:] == want[1:]
