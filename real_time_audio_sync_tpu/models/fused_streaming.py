@@ -209,6 +209,13 @@ class FusedStreamingEngine(StatusPolling):
         frozen no-ops in-kernel, so the committed path is unaffected)."""
         if self._stopped_cached or self.poll() == "stop":
             return "stop"
+        # frames queued by feed() must dispatch FIRST — mixing the two APIs
+        # under a saturated pipeline must not reorder the stream
+        pend = self._pending
+        while pend and not self._stopped_cached:
+            k = min(len(pend), self.k_block)
+            self._dispatch_cols(np.stack(pend[:k], axis=1))
+            del pend[:k]
         cols = np.asarray(cols, np.float32)
         if cols.ndim == 1:
             cols = cols[:, None]

@@ -410,3 +410,72 @@ def test_checkpoint_flushes_pending_feed_frames(tmp_path):
         res.feed(live[:, i])
     res.flush()
     np.testing.assert_array_equal(res.path_array, xla.path_array)
+
+
+@pytest.mark.parametrize("seed,long_ref", [(51, False), (52, True)])
+def test_fused_api_interleaving_fuzz(seed, long_ref):
+    """Seeded fuzz over random interleavings of the fused engine's API
+    (feed / insert_nowait / insert_block_nowait / poll / last_point /
+    mid-stream path reads) under maximum harvest pressure: committed paths
+    must equal the XLA engine's synchronous run in both kernel modes."""
+    rng = np.random.default_rng(seed)
+    ref, live = _make_pair(rng, n_ref=48, stretch=1.25)
+    extra = _unit_cols(rng.random((12, 30)) + 0.05)
+    live = np.concatenate([live, extra], axis=1).astype(np.float32)
+
+    sync = OnlineTimeWarping(ref, PARAMS, dtype=np.float32)
+    for i in range(live.shape[1]):
+        if sync.insert(live[:, i]) == "stop":
+            break
+
+    eng = FusedStreamingEngine(ref, PARAMS, k_block=4, interpret=True,
+                               long_ref=long_ref)
+    eng.poll_min_interval = 0.0
+    i, r = 0, None
+    while i < live.shape[1] and r != "stop":
+        op = int(rng.integers(0, 5))
+        if op == 0:
+            r = eng.feed(live[:, i]); i += 1
+        elif op == 1:
+            r = eng.insert_nowait(live[:, i]); i += 1
+        elif op == 2:
+            k = min(int(rng.integers(1, 6)), live.shape[1] - i)
+            r = eng.insert_block_nowait(live[:, i : i + k]); i += k
+        elif op == 3:
+            r = eng.poll()
+        else:
+            _ = eng.last_point, eng.last_point_age_frames
+            if long_ref and rng.integers(0, 2):
+                _ = eng.path_array  # mid-stream delta drain
+            r = None
+    eng.flush()
+    np.testing.assert_array_equal(eng.path_array, sync.path_array)
+    plen, x, y = eng.last_point
+    assert plen == len(eng.path)
+    assert (x, y) == tuple(eng.path[-1])
+
+
+def test_block_api_preserves_feed_queue_order():
+    """insert_block_nowait after feed() under a saturated pipeline must
+    dispatch the queued feed frames FIRST — mixing the two APIs must not
+    reorder the stream."""
+    rng = np.random.default_rng(53)
+    ref, live = _make_pair(rng, n_ref=48, stretch=1.25)
+    live = live.astype(np.float32)
+
+    sync = OnlineTimeWarping(ref, PARAMS, dtype=np.float32)
+    for i in range(live.shape[1]):
+        if sync.insert(live[:, i]) == "stop":
+            break
+
+    eng = FusedStreamingEngine(ref, PARAMS, k_block=8, interpret=True)
+    eng.max_in_flight = 0  # saturate: feed() only queues
+    for i in range(10):
+        eng.feed(live[:, i])
+    assert eng._pending
+    eng.insert_block_nowait(live[:, 10:20])
+    assert not eng._pending
+    for i in range(20, live.shape[1]):
+        eng.insert_nowait(live[:, i])
+    eng.flush()
+    np.testing.assert_array_equal(eng.path_array, sync.path_array)

@@ -296,3 +296,49 @@ def test_sync_read_drops_stale_inflight_status():
     eng.poll()                      # must have nothing stale to harvest
     assert eng.last_point == want
     assert eng.last_point_age_frames == 0
+
+
+@pytest.mark.parametrize("name,cls,kw", ENGINES)
+@pytest.mark.parametrize("seed", [41, 42])
+def test_streaming_api_interleaving_fuzz(name, cls, kw, seed):
+    """Seeded fuzz over random interleavings of the whole streaming API
+    (insert / insert_nowait / insert_block / insert_block_nowait / poll /
+    last_point) under maximum harvest pressure: the committed path must
+    equal the pure-synchronous run's, and last_point must mirror the final
+    path tail — the regression net for the stale-harvest class of bug."""
+    rng = np.random.default_rng(seed)
+    ref, live = _make_pair(rng, n_ref=30, stretch=1.1)
+    extra = _unit_cols(rng.random((12, 20)) + 0.05)
+    live = np.concatenate([live, extra], axis=1)
+
+    sync = cls(ref, dtype=np.float64, **kw)
+    for i in range(live.shape[1]):
+        if sync.insert(live[:, i]) == "stop":
+            break
+
+    eng = cls(ref, dtype=np.float64, **kw)
+    eng.poll_min_interval = 0.0  # harvest at every opportunity
+    i, r = 0, None
+    while i < live.shape[1] and r != "stop":
+        op = int(rng.integers(0, 6))
+        if op == 0:
+            r = eng.insert(live[:, i]); i += 1
+        elif op == 1:
+            r = eng.insert_nowait(live[:, i]); i += 1
+        elif op == 2:
+            k = min(int(rng.integers(1, 5)), live.shape[1] - i)
+            r = eng.insert_block(live[:, i : i + k]); i += k
+        elif op == 3:
+            k = min(int(rng.integers(1, 5)), live.shape[1] - i)
+            r = eng.insert_block_nowait(live[:, i : i + k]); i += k
+        elif op == 4:
+            r = eng.poll()
+        else:
+            _ = eng.last_point, eng.last_point_age_frames
+            r = None
+    eng.flush()
+
+    assert [tuple(p) for p in eng.path] == [tuple(p) for p in sync.path]
+    plen, x, y = eng.last_point
+    assert plen == len(eng.path)
+    assert (x, y) == tuple(eng.path[-1])
