@@ -475,3 +475,39 @@ def test_fused_multistream_long_ref_checkpoint():
             load_multi_stream_state(std, ck)
     for p in res.paths():
         np.testing.assert_array_equal(p, solo)
+
+
+@pytest.mark.parametrize("seed,long_ref", [(61, False), (62, True)])
+def test_fused_multistream_api_interleaving_fuzz(seed, long_ref):
+    """Seeded fuzz over the serving API: random per-stream feed skew,
+    opportunistic poll/stopped/last_points reads and mid-stream paths()
+    drains under maximum harvest pressure — committed paths must equal the
+    solo engine's in both kernel modes."""
+    from real_time_audio_sync_tpu.parallel import FusedMultiStreamFollower
+
+    rng = np.random.default_rng(seed)
+    ref, live = _make_pair(rng, n_ref=32, stretch=1.2)
+    solo = _solo_fused_path(ref, live)
+
+    fms = FusedMultiStreamFollower(ref, FMS_PARAMS, n_streams=3, k_block=8,
+                                   interpret=True, long_ref=long_ref)
+    fms.poll_min_interval = 0.0
+    ptrs = [0, 0, 0]
+    while min(ptrs) < live.shape[1]:
+        cols = np.zeros((3, 12), np.float32)
+        act = np.zeros(3, bool)
+        for i in range(3):
+            if ptrs[i] < live.shape[1] and rng.integers(0, 3):
+                cols[i], act[i] = live[:, ptrs[i]], True
+                ptrs[i] += 1
+        fms.feed(cols, act)
+        op = int(rng.integers(0, 4))
+        if op == 0:
+            fms.poll()
+        elif op == 1:
+            _ = fms.last_points
+        elif op == 2 and rng.integers(0, 4) == 0:
+            _ = fms.paths()  # mid-stream drain (long mode: delta fold)
+    fms.flush()
+    for p in fms.paths():
+        np.testing.assert_array_equal(p, solo)
