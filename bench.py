@@ -403,11 +403,16 @@ def main() -> int:
         eng_b.flush()
         import jax as _jax
 
+        # pin the dispatched status: a fast backend's free probe can retire
+        # it into _latest_done before insert_nowait returns, and a harvest
+        # would hand it to the background reader — hold both off
+        eng_b.poll_min_interval = 1e9
         t0 = time.perf_counter()
         eng_b.insert_nowait(live[:, 33])
-        _jax.block_until_ready(eng_b._outstanding[-1][1])
+        entry = eng_b._outstanding[-1] if eng_b._outstanding else eng_b._latest_done
+        st = entry[1]
+        _jax.block_until_ready(st)
         t_drain = time.perf_counter() - t0
-        st = eng_b._outstanding[-1][1]
         t0 = time.perf_counter()
         np.asarray(st)
         t_read = time.perf_counter() - t0

@@ -155,7 +155,9 @@ class StatusPolling:
         if result == "stop":
             return
         self._probe()
-        if self._latest_done is not None:
+        if self._latest_done is not None and (
+            not self.async_harvest or self._harvest_future is None
+        ):
             now = time.monotonic()
             if now - self._last_poll_time >= self.poll_min_interval:
                 self._last_poll_time = now
@@ -164,24 +166,29 @@ class StatusPolling:
     # -- reads (relay round-trips, rate-limited) -----------------------------
 
     def _harvest(self):
+        # If a read is already in flight, KEEP the entry — it stays the
+        # newest completed vector and is harvested after the in-flight read
+        # drains (or consumed directly by a blocking poll).  Popping it here
+        # would lose the FINAL status irrecoverably when no further dispatch
+        # arrives: stop detection and last_point would never surface, even
+        # through flush().
+        if self.async_harvest and self._harvest_future is not None:
+            return None
         frames, status = self._latest_done
         self._latest_done = None
         if not self.async_harvest:
             return self._consume_status(np.asarray(status), frames)
         # hand the blocking RPC to the worker; consumed by a later
-        # _drain_harvest on the caller thread.  If a read is already in
-        # flight, drop this one — statuses are cumulative, a newer vector
-        # will be harvested next time.
-        if self._harvest_future is None:
-            if self._harvest_pool is None:
-                import concurrent.futures
+        # _drain_harvest on the caller thread
+        if self._harvest_pool is None:
+            import concurrent.futures
 
-                self._harvest_pool = concurrent.futures.ThreadPoolExecutor(
-                    max_workers=1, thread_name_prefix="rtas-harvest"
-                )
-            self._harvest_future = self._harvest_pool.submit(
-                lambda f=frames, s=status: (f, np.asarray(s))
+            self._harvest_pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="rtas-harvest"
             )
+        self._harvest_future = self._harvest_pool.submit(
+            lambda f=frames, s=status: (f, np.asarray(s))
+        )
         return None
 
     def poll(self, block: bool = False):
@@ -213,6 +220,8 @@ class StatusPolling:
         self._probe()
         if self._latest_done is None:
             return None
+        if self.async_harvest and self._harvest_future is not None:
+            return None  # read in flight; the entry is kept for the next poll
         now = time.monotonic()
         if now - self._last_poll_time < self.poll_min_interval:
             return None

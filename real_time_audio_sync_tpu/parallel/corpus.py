@@ -185,6 +185,29 @@ def _banded_batched_set_live(refs, lives, ref_lens, live_lens, cfg, mesh):
     b, f, n_max = refs.shape
     t_max = lives.shape[2]
     c = cfg.c
+
+    from real_time_audio_sync_tpu.ops.pallas_otw import _SET_LIVE_LONG_N
+
+    if n_max + t_max >= _SET_LIVE_LONG_N:
+        # the whole-sequence kernel's VMEM/SMEM buffers scale with the
+        # padded lengths and blow the budget at hour scale — delegate per
+        # pair to pallas_set_live, which routes long pairs through the
+        # O(c)-VMEM long-reference engine (ops/pallas_otw.py).  Pairs run
+        # sequentially on the default device in this regime (the mesh's
+        # pair-axis sharding applies only to the single-launch kernel).
+        from real_time_audio_sync_tpu.ops.pallas_otw import pallas_set_live
+
+        params = {"c": cfg.c, "max_run_count": cfg.max_run_count}
+        paths = []
+        with ctx:
+            for i in range(b):
+                path, _, _, _ = pallas_set_live(
+                    refs[i, :, : int(ref_lens[i])], lives[i, :, : int(live_lens[i])],
+                    params, monotone_path=cfg.monotone_path, euclidean=cfg.euclidean,
+                    sentinel=cfg.sentinel, run_count_init=cfg.run_count_init,
+                )
+                paths.append(path)
+        return paths, jnp.asarray(float(np.mean([len(p) for p in paths])))
     ref_t = np.zeros((b, _round_up(c + n_max + _round_up(c + 1, _LANES) + 8, _SUBLANES), _LANES), np.float32)
     live_t = np.zeros((b, _round_up(c + t_max + _round_up(c + 1, _SUBLANES) + 8, _SUBLANES), _LANES), np.float32)
     lens = np.zeros((b, 1, 2), np.int32)

@@ -56,18 +56,20 @@ class BatchedStatusPolling:
 
     def _submit_harvest(self, done) -> None:
         """Hand the blocking status read (a relay round-trip) to the worker
-        thread; a read already in flight wins — statuses are cumulative, a
-        newer vector will be harvested next time."""
-        if self._harvest_future is None:
-            if self._harvest_pool is None:
-                import concurrent.futures
+        thread.  Callers must only pop ``_latest_done`` when no read is in
+        flight — dropping it here would lose the FINAL status irrecoverably
+        (stop masks / last_points never surface) when no further dispatch
+        arrives."""
+        assert self._harvest_future is None
+        if self._harvest_pool is None:
+            import concurrent.futures
 
-                self._harvest_pool = concurrent.futures.ThreadPoolExecutor(
-                    max_workers=1, thread_name_prefix=self._harvest_thread_name
-                )
-            self._harvest_future = self._harvest_pool.submit(
-                lambda d=done: np.asarray(d)
+            self._harvest_pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix=self._harvest_thread_name
             )
+        self._harvest_future = self._harvest_pool.submit(
+            lambda d=done: np.asarray(d)
+        )
 
     def _poll_status(self) -> None:
         """Non-blocking refresh: consume a completed background read, retire
@@ -77,6 +79,8 @@ class BatchedStatusPolling:
         self._probe()
         if self._latest_done is None or self._stopped.all():
             return
+        if self._harvest_future is not None:
+            return  # read in flight; the entry is kept for the next poll
         now = time.monotonic()
         if now - self._last_poll_time < self.poll_min_interval:
             return

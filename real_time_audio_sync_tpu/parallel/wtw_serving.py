@@ -163,20 +163,29 @@ class MultiStreamWTW(BatchedStatusPolling):
         k_block) host-extracted chroma columns for ``transfer_dtype=
         "chroma"`` (one batched rfft over all B·k_block frames)."""
         if self.transfer_dtype == "chroma":
-            frames = np.zeros((self.b, self.k_block, self.fft_len), self.dtype)
-            for i, k in enumerate(ks):
-                if k > 0:
-                    span = build_span(self.bufs[i], int(k), self.k_block,
-                                      self.hop_size, self.fft_len, self.dtype)
-                    stride = span.strides[0]
-                    frames[i] = np.lib.stride_tricks.as_strided(
-                        span, shape=(self.k_block, self.fft_len),
-                        strides=(self.hop_size * stride, stride))
+            # FFT only the streams with new columns: the host rfft is the
+            # serving throughput ceiling, and under skewed feeds most
+            # streams dispatch with k=0 — FFTing their all-zero frames
+            # would waste up to ~B x 4096-point transforms per dispatch
+            active = [i for i, k in enumerate(ks) if k > 0]
+            out = np.zeros((self.b, 12, self.k_block), self.dtype)
+            if not active:
+                return out
+            frames = np.zeros((len(active), self.k_block, self.fft_len), self.dtype)
+            for row, i in enumerate(active):
+                span = build_span(self.bufs[i], int(ks[i]), self.k_block,
+                                  self.hop_size, self.fft_len, self.dtype)
+                stride = span.strides[0]
+                frames[row] = np.lib.stride_tricks.as_strided(
+                    span, shape=(self.k_block, self.fft_len),
+                    strides=(self.hop_size * stride, stride))
             cols = host_chroma_frames(
-                frames.reshape(self.b * self.k_block, self.fft_len),
-                n_fft=self.fft_len)  # (12, B*k_block)
-            return np.ascontiguousarray(
-                cols.reshape(12, self.b, self.k_block).transpose(1, 0, 2))
+                frames.reshape(len(active) * self.k_block, self.fft_len),
+                n_fft=self.fft_len)  # (12, len(active)*k_block)
+            cols = cols.reshape(12, len(active), self.k_block).transpose(1, 0, 2)
+            for row, i in enumerate(active):
+                out[i] = cols[row]
+            return out
         spans = np.zeros((self.b, self._span_len), self.dtype)
         for i, k in enumerate(ks):
             if k > 0:

@@ -15,7 +15,9 @@ from real_time_audio_sync_tpu.models.online_core import BandedOnlineEngine, Onli
 
 
 def save_state(engine: BandedOnlineEngine, path: str) -> None:
-    """Snapshot a streaming engine's full state to ``path`` (.npz)."""
+    """Snapshot a streaming engine's full state to ``path`` (.npz).
+    ``np.asarray`` blocks on each device array, so every dispatched
+    (including in-flight pipelined) insert is captured."""
     state = engine.state
     arrays = {f: np.asarray(getattr(state, f)) for f in OnlineState._fields}
     np.savez_compressed(path, ref=np.asarray(engine.ref), **arrays)
@@ -38,6 +40,11 @@ def load_state(engine: BandedOnlineEngine, path: str) -> None:
             raise ValueError(f"checkpoint field {f!r} has shape {arr.shape}, engine expects {cur.shape}")
         fields[f] = jnp.asarray(arr, cur.dtype)
     engine.state = OnlineState(**fields)
+    # no in-flight work survives a restore: stale pre-restore status
+    # vectors must not be consumed against the restored state; the sticky
+    # stop flag is part of OnlineState and rides the snapshot
+    engine._init_status_polling()
+    engine._stopped_cached = bool(np.asarray(data["stopped"]))
 
 
 def save_fused_state(engine, path: str) -> None:

@@ -289,3 +289,34 @@ def test_multistream_wtw_checkpoint_resume(tmp_path):
                            dtype=np.float64, transfer_dtype="int16")
     with pytest.raises(ValueError):
         load_multi_wtw_state(other, ckpt)
+
+
+def test_load_state_resets_polling_and_stop(tmp_path):
+    """Regression: restoring a snapshot must clear pre-restore polling state
+    (stale in-flight statuses would be consumed against the restored state)
+    and carry the sticky stop flag, like the fused/WTW loaders do."""
+    rng = np.random.default_rng(23)
+    ref, live = _make_pair(rng, n_ref=30)
+    params = {"c": 8, "max_run_count": 3}
+
+    done = OnlineTimeWarping(ref, params)
+    r = None
+    for i in range(4 * live.shape[1]):  # repeat columns until ref exhausts
+        r = done.insert(live[:, i % live.shape[1]])
+        if r == "stop":
+            break
+    assert r == "stop" and done._stopped_cached
+    ckpt = str(tmp_path / "stopped.npz")
+    save_state(done, ckpt)
+
+    # restore into an engine mid-stream with UNPOLLED pipelined dispatches
+    used = OnlineTimeWarping(ref, params)
+    used.poll_min_interval = 1e9  # keep dispatched statuses un-harvested
+    for i in range(5):
+        used.insert_nowait(live[:, i])
+    assert used._outstanding or used._latest_done is not None
+    load_state(used, ckpt)
+    assert used._outstanding == [] and used._latest_done is None
+    assert used._stopped_cached
+    assert used.insert(live[:, 0]) == "stop"  # frozen, reference-exhausted
+    assert [tuple(p) for p in used.path] == [tuple(p) for p in done.path]

@@ -342,3 +342,44 @@ def test_streaming_api_interleaving_fuzz(name, cls, kw, seed):
     plen, x, y = eng.last_point
     assert plen == len(eng.path)
     assert (x, y) == tuple(eng.path[-1])
+
+
+class _GatedStatus:
+    """Fake status handle: is_ready() immediately, but the actual READ
+    (np.asarray) blocks on an event — models the relay round-trip that the
+    background harvester performs off-thread."""
+
+    def __init__(self, vec, gate=None):
+        self._vec = np.asarray(vec, np.int32)
+        self._gate = gate
+
+    def is_ready(self):
+        return True
+
+    def __array__(self, dtype=None, copy=None):
+        if self._gate is not None:
+            assert self._gate.wait(10.0), "gate never opened"
+        v = self._vec
+        return v.astype(dtype) if dtype is not None else v
+
+
+def test_async_harvest_keeps_final_status_when_read_in_flight():
+    """Regression: while a background status read is in flight, a newly
+    completed status must be KEPT (not popped-and-dropped) — otherwise the
+    FINAL status of a stream is lost forever and stop/last_point never
+    surface, even through flush()."""
+    import threading
+
+    from real_time_audio_sync_tpu.models.online_core import StatusPolling
+
+    p = StatusPolling()
+    p._init_status_polling()
+    p.poll_min_interval = 0.0
+    gate = threading.Event()
+    s1 = _GatedStatus([0, 1, 0, 0], gate)  # read blocks until the gate opens
+    s2 = _GatedStatus([1, 2, 1, 1])  # FINAL status: stop flag set
+    p._swap_status(s1)  # probe retires it; background read submitted (blocked)
+    p._swap_status(s2)  # read in flight: s2 must stay harvestable
+    gate.set()
+    assert p.flush() == "stop"
+    assert p._last_point == (2, 1, 1)

@@ -511,3 +511,56 @@ def test_fused_multistream_api_interleaving_fuzz(seed, long_ref):
     fms.flush()
     for p in fms.paths():
         np.testing.assert_array_equal(p, solo)
+
+
+def test_batched_harvest_keeps_final_status_when_read_in_flight():
+    """Regression (same bug class as the solo StatusPolling): a completed
+    status retired while a background read is in flight must be kept — the
+    final per-stream stop mask would otherwise be lost irrecoverably."""
+    import threading
+
+    from real_time_audio_sync_tpu.parallel.polling import BatchedStatusPolling
+    from tests.test_online import _GatedStatus
+
+    class Follower(BatchedStatusPolling):
+        def __init__(self):
+            self._stopped = np.zeros(2, bool)
+            self._init_batched_polling()
+            self.poll_min_interval = 0.0
+
+        def _consume(self, vec):
+            self._stopped |= (vec[:, 0] & 1).astype(bool)
+
+    f = Follower()
+    gate = threading.Event()
+    s1 = _GatedStatus(np.zeros((2, 8), np.int32), gate)
+    final = np.zeros((2, 8), np.int32)
+    final[:, 0] = 1  # every stream stopped
+    s2 = _GatedStatus(final)
+    f._outstanding.append(s1)
+    f._poll_status()  # retires s1; background read submitted (blocked)
+    f._outstanding.append(s2)
+    f._poll_status()  # read in flight: s2 must stay harvestable
+    gate.set()
+    f._settle_status()
+    assert f._stopped.all()
+
+
+def test_batched_set_live_banded_delegates_long_pairs(monkeypatch):
+    """Hour-scale corpus batches must not reach the whole-sequence batched
+    kernel (its VMEM/SMEM buffers scale with the padded lengths): the banded
+    backend delegates per pair to pallas_set_live's long-reference engine,
+    with identical committed paths (forced here via the threshold)."""
+    import real_time_audio_sync_tpu.ops.pallas_otw as po
+    from real_time_audio_sync_tpu.parallel import batched_set_live, pad_pairs
+
+    rng = np.random.default_rng(21)
+    pairs = [_make_pair(rng, n_ref=24 + 4 * i, stretch=1.0 + 0.15 * i) for i in range(2)]
+    r, l, rl, ll = pad_pairs([p[0] for p in pairs], [p[1] for p in pairs])
+    params = {"c": 8, "max_run_count": 3}
+    direct, mean_d = batched_set_live(r, l, rl, ll, params, backend="banded")
+    monkeypatch.setattr(po, "_SET_LIVE_LONG_N", 0)
+    delegated, mean_l = batched_set_live(r, l, rl, ll, params, backend="banded")
+    for pd, pg in zip(direct, delegated):
+        np.testing.assert_array_equal(np.asarray(pd), np.asarray(pg))
+    assert abs(float(mean_d) - float(mean_l)) < 1e-6
