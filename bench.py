@@ -410,6 +410,8 @@ def main() -> int:
         t0 = time.perf_counter()
         eng_b.insert_nowait(live[:, 33])
         entry = eng_b._outstanding[-1] if eng_b._outstanding else eng_b._latest_done
+        if entry is None:
+            raise RuntimeError("stream stopped during warm-up; no status to probe")
         st = entry[1]
         _jax.block_until_ready(st)
         t_drain = time.perf_counter() - t0

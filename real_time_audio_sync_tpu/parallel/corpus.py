@@ -190,23 +190,34 @@ def _banded_batched_set_live(refs, lives, ref_lens, live_lens, cfg, mesh):
 
     if n_max + t_max >= _SET_LIVE_LONG_N:
         # the whole-sequence kernel's VMEM/SMEM buffers scale with the
-        # padded lengths and blow the budget at hour scale — delegate per
-        # pair to pallas_set_live, which routes long pairs through the
-        # O(c)-VMEM long-reference engine (ops/pallas_otw.py).  Pairs run
-        # sequentially on the default device in this regime (the mesh's
-        # pair-axis sharding applies only to the single-launch kernel).
-        from real_time_audio_sync_tpu.ops.pallas_otw import pallas_set_live
+        # PADDED lengths and blow the budget at hour scale — delegate the
+        # batch (trimmed to TRUE lengths) to pallas_batched_set_live, which
+        # owns the long-regime routing: short-after-trim batches go back to
+        # the single-launch kernel, genuinely long pairs run the O(c)-VMEM
+        # long-reference engine per pair.
+        import warnings
 
+        from real_time_audio_sync_tpu.ops.pallas_otw import pallas_batched_set_live
+
+        if mesh is not None:
+            axes = tuple(mesh.axis_names)
+            n_dev = int(np.prod([mesh.shape[a] for a in axes]))
+            if b % n_dev:
+                raise ValueError(
+                    f"pair count {b} must be divisible by the mesh's {n_dev} devices")
+            warnings.warn(
+                "hour-scale pairs run the long-reference engine sequentially "
+                "on the default device; the mesh's pair-axis sharding applies "
+                "only to the single-launch kernel regime", stacklevel=3)
         params = {"c": cfg.c, "max_run_count": cfg.max_run_count}
-        paths = []
-        with ctx:
-            for i in range(b):
-                path, _, _, _ = pallas_set_live(
-                    refs[i, :, : int(ref_lens[i])], lives[i, :, : int(live_lens[i])],
-                    params, monotone_path=cfg.monotone_path, euclidean=cfg.euclidean,
-                    sentinel=cfg.sentinel, run_count_init=cfg.run_count_init,
-                )
-                paths.append(path)
+        out = pallas_batched_set_live(
+            [refs[i, :, : int(ref_lens[i])] for i in range(b)],
+            [lives[i, :, : int(live_lens[i])] for i in range(b)],
+            params, monotone_path=cfg.monotone_path, euclidean=cfg.euclidean,
+            sentinel=cfg.sentinel, run_count_init=cfg.run_count_init,
+            interpret=interpret,
+        )
+        paths = [o[0] for o in out]
         return paths, jnp.asarray(float(np.mean([len(p) for p in paths])))
     ref_t = np.zeros((b, _round_up(c + n_max + _round_up(c + 1, _LANES) + 8, _SUBLANES), _LANES), np.float32)
     live_t = np.zeros((b, _round_up(c + t_max + _round_up(c + 1, _SUBLANES) + 8, _SUBLANES), _LANES), np.float32)

@@ -60,7 +60,10 @@ class BatchedStatusPolling:
         flight — dropping it here would lose the FINAL status irrecoverably
         (stop masks / last_points never surface) when no further dispatch
         arrives."""
-        assert self._harvest_future is None
+        if self._harvest_future is not None:  # would orphan the in-flight
+            # read and lose its vector — fail loudly even under python -O
+            raise RuntimeError("harvest already in flight; keep the status "
+                               "in _latest_done instead")
         if self._harvest_pool is None:
             import concurrent.futures
 

@@ -14,13 +14,26 @@ import numpy as np
 from real_time_audio_sync_tpu.models.online_core import BandedOnlineEngine, OnlineState
 
 
+def _reset_polling(engine) -> None:
+    """No in-flight work survives a restore (stale pre-restore status
+    vectors must not be consumed against the restored state), but a tuned
+    ``poll_min_interval`` is an engine setting, not stream state — keep it
+    (mirrors set_live's reset, models/online_core.py)."""
+    interval = engine.poll_min_interval
+    engine._init_status_polling()
+    engine.poll_min_interval = interval
+
+
 def save_state(engine: BandedOnlineEngine, path: str) -> None:
     """Snapshot a streaming engine's full state to ``path`` (.npz).
     ``np.asarray`` blocks on each device array, so every dispatched
     (including in-flight pipelined) insert is captured."""
     state = engine.state
     arrays = {f: np.asarray(getattr(state, f)) for f in OnlineState._fields}
-    np.savez_compressed(path, ref=np.asarray(engine.ref), **arrays)
+    np.savez_compressed(
+        path, ref=np.asarray(engine.ref),
+        batch_mode=np.int32(engine._batch_mode), **arrays,
+    )
 
 
 def load_state(engine: BandedOnlineEngine, path: str) -> None:
@@ -40,11 +53,14 @@ def load_state(engine: BandedOnlineEngine, path: str) -> None:
             raise ValueError(f"checkpoint field {f!r} has shape {arr.shape}, engine expects {cur.shape}")
         fields[f] = jnp.asarray(arr, cur.dtype)
     engine.state = OnlineState(**fields)
-    # no in-flight work survives a restore: stale pre-restore status
-    # vectors must not be consumed against the restored state; the sticky
-    # stop flag is part of OnlineState and rides the snapshot
-    engine._init_status_polling()
+    # the sticky stop flag is part of OnlineState and rides the snapshot
+    _reset_polling(engine)
     engine._stopped_cached = bool(np.asarray(data["stopped"]))
+    # .path's return type follows the mode the snapshot was taken in
+    # (set_live -> array, streaming -> list of tuples; otw.py's surface)
+    engine._batch_mode = (
+        bool(int(data["batch_mode"])) if "batch_mode" in data.files else False
+    )
 
 
 def save_fused_state(engine, path: str) -> None:
@@ -98,7 +114,7 @@ def load_fused_state(engine, path: str) -> None:
         engine._host_px = [p[:, 0].astype(np.int32)] if len(p) else []
         engine._host_py = [p[:, 1].astype(np.int32)] if len(p) else []
         engine._drained_plen = len(p)
-        engine._init_status_polling()
+        _reset_polling(engine)
         engine._pending.clear()  # queued feed() columns predate the restore
         engine._stopped_cached = bool(int(data["stopped"]))
         return
@@ -108,7 +124,7 @@ def load_fused_state(engine, path: str) -> None:
     engine._state = jax.device_put(
         tuple(jnp.asarray(data[n]) for n in ("w", "live_t", "path_x", "path_y", "scalars"))
     )
-    engine._init_status_polling()  # no in-flight work survives a restore
+    _reset_polling(engine)
     engine._pending.clear()  # queued feed() columns predate the restore
     engine._stopped_cached = bool(int(data["stopped"]))
 
@@ -363,5 +379,5 @@ def load_async_wtw_state(engine, path: str) -> None:
         jax.device_put(jnp.asarray(data[n])) for n in ("path_x", "path_y", "scalars")
     )
     engine.buf = SampleFIFO.from_array(data["buf"], engine.dtype)
-    engine._init_status_polling()  # no in-flight work survives a restore
+    _reset_polling(engine)
     engine._stopped_cached = bool(int(data["stopped"]))

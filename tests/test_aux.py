@@ -320,3 +320,38 @@ def test_load_state_resets_polling_and_stop(tmp_path):
     assert used._stopped_cached
     assert used.insert(live[:, 0]) == "stop"  # frozen, reference-exhausted
     assert [tuple(p) for p in used.path] == [tuple(p) for p in done.path]
+
+
+def test_load_state_restores_batch_mode(tmp_path):
+    """.path's return type (array after set_live, list of tuples after
+    streaming — otw_eran.py:142) follows the mode the SNAPSHOT was taken
+    in, not whatever the target engine last ran."""
+    rng = np.random.default_rng(29)
+    ref, live = _make_pair(rng, n_ref=24)
+    params = {"c": 8, "max_run_count": 3}
+
+    batch = OnlineTimeWarping(ref, params)
+    batch.set_live(live)
+    ck_batch = str(tmp_path / "batch.npz")
+    save_state(batch, ck_batch)
+
+    stream = OnlineTimeWarping(ref, params)
+    for i in range(4):
+        stream.insert(live[:, i])
+    ck_stream = str(tmp_path / "stream.npz")
+    save_state(stream, ck_stream)
+
+    target = OnlineTimeWarping(ref, params)
+    for i in range(4):
+        target.insert(live[:, i])  # streaming mode before the restore
+    target.poll_min_interval = 0.123  # tuned setting must survive a restore
+    load_state(target, ck_batch)
+    assert isinstance(target.path, np.ndarray)
+    np.testing.assert_array_equal(target.path, batch.path)
+    assert target.poll_min_interval == 0.123
+
+    target2 = OnlineTimeWarping(ref, params)
+    target2.set_live(live)  # batch mode before the restore
+    load_state(target2, ck_stream)
+    assert isinstance(target2.path, list)
+    assert target2.path == stream.path
