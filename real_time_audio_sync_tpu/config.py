@@ -12,7 +12,6 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Mapping
 
-import numpy as np
 
 # Frontend constants (reference chroma.py:20-22). 4096/22050 ≈ 186 ms analysis
 # window, 2048/22050 ≈ 92.9 ms hop → 10.77 feature frames per second.
@@ -23,16 +22,6 @@ FS = 22050
 # Seconds of audio represented by one feature frame (hard-coded as
 # ``2048 / 22050.`` throughout the reference, e.g. tests.py:114).
 FRAME_PERIOD_SEC = HOP_SIZE / float(FS)
-
-
-@dataclasses.dataclass(frozen=True)
-class ChromaConfig:
-    """Feature frontend configuration (reference chroma.py:20-22)."""
-
-    fft_len: int = FFT_LEN
-    hop_size: int = HOP_SIZE
-    fs: int = FS
-    n_chroma: int = 12
 
 
 @dataclasses.dataclass(frozen=True)
@@ -103,8 +92,3 @@ class WTWParams:
     def hop_frames(self) -> int:
         return self.dtw_hop_size // self.hop_size
 
-
-def default_dtype() -> np.dtype:
-    """Default compute dtype: float32 on TPU; tests opt into float64 on CPU
-    for bit-parity with the reference's numpy-float64 arithmetic."""
-    return np.dtype(np.float32)

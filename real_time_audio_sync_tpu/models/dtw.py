@@ -26,14 +26,23 @@ def _cosine_cost(seq_a, seq_b):
 
 
 def _use_pallas(backend: str, dtype) -> bool:
+    from real_time_audio_sync_tpu.ops.pallas_wavefront import pallas_wavefront_supported
+
     if backend == "pallas":
+        # fail up front with the platform/dtype reason instead of an opaque
+        # Mosaic lowering error (AsyncWTW's window_backend does the same)
+        if not pallas_wavefront_supported(None, dtype):
+            raise ValueError(
+                f"backend='pallas' unsupported on this platform/dtype "
+                f"({jax.devices()[0].platform}, {np.dtype(dtype)}); use "
+                f"backend='scan' or 'auto'")
         return True
     if backend == "scan":
         return False
+    if backend != "auto":
+        raise ValueError(f"unknown backend {backend!r}; choose 'auto', 'scan' or 'pallas'")
     # auto: the fused kernel targets real TPUs and f32 (the production
     # dtype); CPU and f64 parity runs use the scan
-    from real_time_audio_sync_tpu.ops.pallas_wavefront import pallas_wavefront_supported
-
     return pallas_wavefront_supported(None, dtype)
 
 

@@ -117,14 +117,34 @@ class StatusPolling:
         self.async_harvest = True
         self._harvest_future = None
         self._harvest_pool = None
+        # claim guard for draining the single-slot future: dispatching stays
+        # single-threaded, but last_point is documented for UI-thread polling
+        # and both paths drain — without the claim, two threads passing the
+        # done() check would .result() the same future (one sees None ->
+        # AttributeError) or double-consume one vector
+        import threading
+
+        self._drain_lock = threading.Lock()
+
+    def _claim_harvest_future(self, done_only: bool = True):
+        """Atomically take the in-flight future if present (and, by default,
+        completed); returns it or None if another thread claimed it first."""
+        fut = self._harvest_future
+        if fut is None or (done_only and not fut.done()):
+            return None
+        with self._drain_lock:
+            if self._harvest_future is not fut:
+                return None  # another thread claimed it
+            self._harvest_future = None
+        return fut
 
     def _drain_harvest(self):
         """Consume a background read that has completed (caller thread)."""
-        if self._harvest_future is not None and self._harvest_future.done():
-            frames, vec = self._harvest_future.result()
-            self._harvest_future = None
-            return self._consume_status(vec, frames)
-        return None
+        fut = self._claim_harvest_future()
+        if fut is None:
+            return None
+        frames, vec = fut.result()
+        return self._consume_status(vec, frames)
 
     # -- free local probes ---------------------------------------------------
 
@@ -199,9 +219,9 @@ class StatusPolling:
         if self._stopped_cached:
             return "stop"
         if block:
-            if self._harvest_future is not None:  # settle the worker first
-                frames, vec = self._harvest_future.result()
-                self._harvest_future = None
+            fut = self._claim_harvest_future(done_only=False)
+            if fut is not None:  # settle the worker first
+                frames, vec = fut.result()
                 if self._consume_status(vec, frames) == "stop":
                     return "stop"
             if self._outstanding:

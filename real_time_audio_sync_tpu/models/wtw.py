@@ -186,7 +186,15 @@ class WTW:
         """Insert raw audio samples (list or array) — wtw.py:71-130.
 
         Arrays are ingested without copies into a numpy FIFO (amortized O(1)
-        per hop; the reference's list buffer re-slices O(len) every hop)."""
+        per hop; the reference's list buffer re-slices O(len) every hop).
+
+        Compile-count caveat: the chroma extraction jit specializes on the
+        number of currently available columns, so wildly varying buffer
+        sizes each pay a one-time compile.  Steady feeds (fixed-size
+        buffers, or the harness's ``np.array_split`` chunks — at most two
+        distinct sizes) stay at a handful of shapes.  This host-loop engine
+        is the parity oracle; production streaming is ``AsyncWTW``, which
+        pads every dispatch to a static ``k_block``."""
         self.buf.extend(live_audio_buf)
 
         if self.ref_ptr >= self.M - 1 or self.live_ptr >= self.N - 1:
@@ -200,9 +208,16 @@ class WTW:
             # one-col-per-iteration bookkeeping exactly (host counters only)
             n_cols = (len(self.buf) - self.fft_len) // self.hop_size + 1
             avail = self.buf.view((n_cols - 1) * self.hop_size + self.fft_len)
+            # .copy(): the windows view aliases the FIFO's ring, which a
+            # later extend() may compact IN PLACE while the chroma dispatch
+            # below is still in flight — on CPU backends jnp.asarray can
+            # ingest a contiguous (1, fft_len) view zero-copy (the same
+            # hazard build_span documents in wtw_async.py); the strided
+            # multi-row case was getting copied by JAX anyway, so this adds
+            # no work there
             frames = np.lib.stride_tricks.sliding_window_view(avail, self.fft_len)[
                 :: self.hop_size
-            ]
+            ].copy()
             cols = chroma_frames(jnp.asarray(frames, self.dtype))  # (12, n_cols), device
             room = self.N - self.chroma_ptr
             if room > 0:

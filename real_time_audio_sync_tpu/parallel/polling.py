@@ -28,9 +28,25 @@ class BatchedStatusPolling:
         self._last_poll_time = 0.0
         # blocking reads run on a worker thread (StatusPolling.async_harvest
         # rationale); bookkeeping stays on the caller thread via the
-        # single-slot future, so no locks are needed
+        # single-slot future.  The claim lock only guards the future swap so
+        # a second thread polling stopped-state can't double-drain it.
+        import threading
+
         self._harvest_future = None
         self._harvest_pool = None
+        self._drain_lock = threading.Lock()
+
+    def _claim_harvest_future(self, done_only: bool = True):
+        """Atomically take the in-flight future if present (and, by default,
+        completed); returns it or None if another thread claimed it first."""
+        fut = self._harvest_future
+        if fut is None or (done_only and not fut.done()):
+            return None
+        with self._drain_lock:
+            if self._harvest_future is not fut:
+                return None
+            self._harvest_future = None
+        return fut
 
     # -- free local probes ----------------------------------------------
 
@@ -49,10 +65,9 @@ class BatchedStatusPolling:
 
     def _drain_harvest(self) -> None:
         """Consume a background read that has completed (caller thread)."""
-        if self._harvest_future is not None and self._harvest_future.done():
-            vec = self._harvest_future.result()
-            self._harvest_future = None
-            self._consume(vec)
+        fut = self._claim_harvest_future()
+        if fut is not None:
+            self._consume(fut.result())
 
     def _submit_harvest(self, done) -> None:
         """Hand the blocking status read (a relay round-trip) to the worker
@@ -94,10 +109,9 @@ class BatchedStatusPolling:
     def _settle_status(self) -> None:
         """Blocking: settle the worker first, then consume the NEWEST
         in-flight status (waiting on the tail subsumes everything before)."""
-        if self._harvest_future is not None:
-            vec = self._harvest_future.result()
-            self._harvest_future = None
-            self._consume(vec)
+        fut = self._claim_harvest_future(done_only=False)
+        if fut is not None:
+            self._consume(fut.result())
         if self._outstanding:
             vec = np.asarray(self._outstanding[-1])
             self._outstanding = []

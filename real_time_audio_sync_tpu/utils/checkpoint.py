@@ -24,6 +24,18 @@ def _reset_polling(engine) -> None:
     engine.poll_min_interval = interval
 
 
+def _check_params(data, *fields) -> None:
+    """Engine-parameter compatibility: every validated SHAPE is independent
+    of the search band / slope constraint, so a c or max_run_count mismatch
+    would otherwise restore silently and misalign (the rationale
+    load_multi_stream_state / load_async_wtw_state already apply).  Fields
+    absent from older snapshots are skipped."""
+    for name, want in fields:
+        if name in data.files and int(data[name]) != int(want):
+            raise ValueError(
+                f"checkpoint {name} {int(data[name])} != engine {name} {int(want)}")
+
+
 def save_state(engine: BandedOnlineEngine, path: str) -> None:
     """Snapshot a streaming engine's full state to ``path`` (.npz).
     ``np.asarray`` blocks on each device array, so every dispatched
@@ -32,7 +44,9 @@ def save_state(engine: BandedOnlineEngine, path: str) -> None:
     arrays = {f: np.asarray(getattr(state, f)) for f in OnlineState._fields}
     np.savez_compressed(
         path, ref=np.asarray(engine.ref),
-        batch_mode=np.int32(engine._batch_mode), **arrays,
+        batch_mode=np.int32(engine._batch_mode),
+        c=np.int32(engine.cfg.c),
+        max_run_count=np.int32(engine.cfg.max_run_count), **arrays,
     )
 
 
@@ -45,6 +59,7 @@ def load_state(engine: BandedOnlineEngine, path: str) -> None:
     ref = data["ref"]
     if ref.shape != engine.ref.shape or not np.array_equal(ref, np.asarray(engine.ref)):
         raise ValueError("checkpoint was taken against a different reference sequence")
+    _check_params(data, ("c", engine.cfg.c), ("max_run_count", engine.cfg.max_run_count))
     fields = {}
     for f in OnlineState._fields:
         arr = data[f]
@@ -79,6 +94,9 @@ def save_fused_state(engine, path: str) -> None:
             path, ref_t=np.asarray(engine.ref_t), w=w, live_win=live_win,
             scalars=sc, host_path=p, long_ref=np.int32(1),
             stopped=np.int32(engine._stopped_cached),
+            c=np.int32(engine.cfg.c),
+            max_run_count=np.int32(engine.cfg.max_run_count),
+            k_block=np.int32(engine.k_block),
         )
         return
     w, live_t, px, py, sc = np.asarray(engine._state[0]), *map(np.asarray, engine._state[1:])
@@ -86,6 +104,9 @@ def save_fused_state(engine, path: str) -> None:
         path, ref_t=np.asarray(engine.ref_t), w=w, live_t=live_t,
         path_x=px, path_y=py, scalars=sc,
         stopped=np.int32(engine._stopped_cached),
+        c=np.int32(engine.cfg.c),
+        max_run_count=np.int32(engine.cfg.max_run_count),
+        k_block=np.int32(engine.k_block),
     )
 
 
@@ -102,6 +123,9 @@ def load_fused_state(engine, path: str) -> None:
         data["ref_t"], np.asarray(engine.ref_t)
     ):
         raise ValueError("checkpoint was taken against a different reference sequence")
+    _check_params(data, ("c", engine.cfg.c),
+                  ("max_run_count", engine.cfg.max_run_count),
+                  ("k_block", engine.k_block))
     if getattr(engine, "long_ref", False):
         for name, cur in zip(("w", "live_win", "scalars"), engine._state):
             if data[name].shape != cur.shape:

@@ -355,3 +355,76 @@ def test_load_state_restores_batch_mode(tmp_path):
     load_state(target2, ck_stream)
     assert isinstance(target2.path, list)
     assert target2.path == stream.path
+
+
+def test_checkpoint_param_mismatch_rejected(tmp_path):
+    """c / max_run_count change no validated SHAPE (acc is (2N, N), live is
+    (F, 2N)), so without the explicit field check a band-width mismatch
+    restores silently and misaligns."""
+    rng = np.random.default_rng(31)
+    ref, live = _make_pair(rng, n_ref=24)
+    a = OnlineTimeWarping(ref, {"c": 10, "max_run_count": 3})
+    a.insert(live[:, 0])
+    ckpt = str(tmp_path / "c10.npz")
+    save_state(a, ckpt)
+    with pytest.raises(ValueError, match="checkpoint c 10"):
+        load_state(OnlineTimeWarping(ref, {"c": 8, "max_run_count": 3}), ckpt)
+    with pytest.raises(ValueError, match="max_run_count"):
+        load_state(OnlineTimeWarping(ref, {"c": 10, "max_run_count": 2}), ckpt)
+
+
+def test_fused_checkpoint_k_block_mismatch_rejected(tmp_path):
+    """Standard-mode fused state shapes are k_block-independent, so the
+    explicit field check is what rejects a mismatched engine."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from real_time_audio_sync_tpu.models.fused_streaming import FusedStreamingEngine
+    from real_time_audio_sync_tpu.utils.checkpoint import load_fused_state, save_fused_state
+
+    rng = np.random.default_rng(33)
+    ref, live = _make_pair(rng, n_ref=24)
+    params = {"c": 8, "max_run_count": 3}
+    with pltpu.force_tpu_interpret_mode():
+        a = FusedStreamingEngine(ref, params, k_block=4, interpret=True)
+        a.insert_block_nowait(live[:, :4])
+        a.flush()
+        ckpt = str(tmp_path / "k4.npz")
+        save_fused_state(a, ckpt)
+        b = FusedStreamingEngine(ref, params, k_block=8, interpret=True)
+        with pytest.raises(ValueError, match="k_block"):
+            load_fused_state(b, ckpt)
+
+
+def test_last_point_thread_safe_drain():
+    """last_point is documented for UI-thread polling while the audio thread
+    dispatches: both paths drain the single-slot harvest future, which must
+    be claimed atomically (a lost race used to .result() a None future)."""
+    import threading
+
+    rng = np.random.default_rng(37)
+    ref, live = _make_pair(rng, n_ref=40)
+    eng = OnlineTimeWarping(ref, {"c": 10, "max_run_count": 3})
+    eng.poll_min_interval = 0.0  # harvest at every opportunity
+    errors = []
+    stop = threading.Event()
+
+    def ui_reader():
+        try:
+            while not stop.is_set():
+                _ = eng.last_point, eng.last_point_age_frames
+        except Exception as e:  # pragma: no cover - the regression itself
+            errors.append(e)
+
+    readers = [threading.Thread(target=ui_reader) for _ in range(2)]
+    for t in readers:
+        t.start()
+    try:
+        for i in range(live.shape[1]):
+            if eng.insert_nowait(live[:, i]) == "stop":
+                break
+        eng.flush()
+    finally:
+        stop.set()
+        for t in readers:
+            t.join(5)
+    assert not errors, errors

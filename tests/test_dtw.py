@@ -156,3 +156,21 @@ def test_dtw_real_pair_scores(chopin_pair):
     # 0-4% off-by->1-beat (BASELINE.md) — offline should be comparable
     assert result.pct_off_beats[1] < 10.0
     assert result.pct_off_beats[3] < 1.0
+
+
+def test_dtw_backend_validation():
+    """backend='pallas' fails up front with the platform/dtype reason on
+    hosts where Mosaic can't run (CPU), and unknown names are rejected,
+    instead of crashing deep in lowering."""
+    import jax
+    import pytest
+
+    from real_time_audio_sync_tpu.models.dtw import DTW
+
+    rng = np.random.default_rng(3)
+    a, b = rng.random((12, 16)).astype(np.float32), rng.random((12, 20)).astype(np.float32)
+    with pytest.raises(ValueError, match="unknown backend"):
+        DTW(a, b, backend="bogus")
+    if jax.devices()[0].platform == "cpu":
+        with pytest.raises(ValueError, match="unsupported on this platform"):
+            DTW(a, b, backend="pallas")
