@@ -170,3 +170,23 @@ def test_align_pair_fused_wtw_matches_insert(chopin_pair):
 
     with _pytest.raises(ValueError, match="oracle"):
         align_pair(ref_wav, live_wav, "otw", mode="oracle")
+
+
+def test_serving_demo_example_runs(chopin_pair):
+    """The multi-stream serving demo runs end-to-end (interpret mode, tiny
+    stream count/length) and reports every stream's position."""
+    import os
+    import subprocess
+    import sys
+
+    ref_wav, live_wav = chopin_pair
+    proc = subprocess.run(
+        [sys.executable, "examples/serving_demo.py", "--ref", ref_wav,
+         "--live", live_wav, "--streams", "2", "--interpret",
+         "--max-frames", "32"],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "RTAS_NO_COMPILE_CACHE": "1"},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "aggregate RTF" in proc.stdout
+    assert proc.stdout.count("stream ") >= 2
