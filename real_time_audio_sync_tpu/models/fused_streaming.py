@@ -298,7 +298,10 @@ class FusedStreamingEngine(StatusPolling):
         """
         if self._stopped_cached or self.poll() == "stop":
             return "stop"
-        col = np.asarray(col, np.float32).reshape(-1)
+        # np.array (not asarray): the column can stay QUEUED past this call
+        # under saturation, so a zero-copy view of the caller's buffer would
+        # be mutated before dispatch if the caller reuses it per hop
+        col = np.array(col, np.float32).reshape(-1)
         self._pending.append(col)
         self._drain_pending()
         return None

@@ -200,11 +200,9 @@ def _banded_batched_set_live(refs, lives, ref_lens, live_lens, cfg, mesh):
         from real_time_audio_sync_tpu.ops.pallas_otw import pallas_batched_set_live
 
         if mesh is not None:
-            axes = tuple(mesh.axis_names)
-            n_dev = int(np.prod([mesh.shape[a] for a in axes]))
-            if b % n_dev:
-                raise ValueError(
-                    f"pair count {b} must be divisible by the mesh's {n_dev} devices")
+            from real_time_audio_sync_tpu.parallel.serving import require_batch_divisible
+
+            require_batch_divisible(mesh, b)
             warnings.warn(
                 "hour-scale pairs run the long-reference engine sequentially "
                 "on the default device; the mesh's pair-axis sharding applies "
@@ -236,11 +234,10 @@ def _banded_batched_set_live(refs, lives, ref_lens, live_lens, cfg, mesh):
             )
             mean_path_len = jnp.mean(scalars[:, 0, 0].astype(jnp.float32))
         else:
+            from real_time_audio_sync_tpu.parallel.serving import require_batch_divisible
+
+            require_batch_divisible(mesh, b)
             axes = tuple(mesh.axis_names)
-            n_dev = int(np.prod([mesh.shape[a] for a in axes]))
-            if b % n_dev:
-                raise ValueError(
-                    f"pair count {b} must be divisible by the mesh's {n_dev} devices")
             batched = P(axes)
 
             def shard_fn(rt, lt, ln):

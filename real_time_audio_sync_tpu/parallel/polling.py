@@ -92,19 +92,25 @@ class BatchedStatusPolling:
     def _poll_status(self) -> None:
         """Non-blocking refresh: consume a completed background read, retire
         finished launches with free probes, and kick off a rate-limited
-        background harvest of the newest completed vector."""
+        background harvest of the newest completed vector.
+
+        The probe/pop/submit sequence runs under the claim lock: ``stopped``
+        / ``last_points`` readers poll concurrently with the feed thread,
+        and two threads passing the checks together would double-pop
+        ``_latest_done`` (one submitting None) or double-submit."""
         self._drain_harvest()
-        self._probe()
-        if self._latest_done is None or self._stopped.all():
-            return
-        if self._harvest_future is not None:
-            return  # read in flight; the entry is kept for the next poll
-        now = time.monotonic()
-        if now - self._last_poll_time < self.poll_min_interval:
-            return
-        self._last_poll_time = now
-        done, self._latest_done = self._latest_done, None
-        self._submit_harvest(done)
+        with self._drain_lock:
+            self._probe()
+            if self._latest_done is None or self._stopped.all():
+                return
+            if self._harvest_future is not None:
+                return  # read in flight; the entry is kept for the next poll
+            now = time.monotonic()
+            if now - self._last_poll_time < self.poll_min_interval:
+                return
+            self._last_poll_time = now
+            done, self._latest_done = self._latest_done, None
+            self._submit_harvest(done)
 
     def _settle_status(self) -> None:
         """Blocking: settle the worker first, then consume the NEWEST

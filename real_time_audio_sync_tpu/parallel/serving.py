@@ -372,7 +372,11 @@ class FusedMultiStreamFollower(BatchedStatusPolling):
         act = np.ones(self.b, bool) if active is None else np.asarray(active, bool)
         for i in range(self.b):
             if act[i] and not self._stopped[i]:
-                self._pending[i].append(cols[i])
+                # .copy(): under saturation the column stays QUEUED past this
+                # call, and np.asarray above is a no-op for float32 input —
+                # a caller reusing its cols buffer (the natural serving loop)
+                # would mutate the queued view before dispatch
+                self._pending[i].append(cols[i].copy())
         self._drain()
         self.poll()
         return self._stopped.copy()

@@ -479,3 +479,32 @@ def test_block_api_preserves_feed_queue_order():
         eng.insert_nowait(live[:, i])
     eng.flush()
     np.testing.assert_array_equal(eng.path_array, sync.path_array)
+
+
+def test_feed_copies_queued_columns():
+    """Regression: under saturation feed()'s column stays QUEUED past the
+    call, so a caller reusing one buffer per hop (the natural streaming
+    loop) must not mutate the queued entry — feed copies on ingest."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(41)
+    ref, live = _make_pair(rng, n_ref=40, stretch=1.2)
+    cut = min(live.shape[1], 4 * 8 - 1)  # below the liveness backstop
+
+    with pltpu.force_tpu_interpret_mode():
+        fresh = FusedStreamingEngine(ref, PARAMS, k_block=8, interpret=True)
+        fresh.max_in_flight = 0  # saturate: feed() only queues
+        for i in range(cut):
+            fresh.feed(live[:, i])
+        fresh.flush()
+
+        reused = FusedStreamingEngine(ref, PARAMS, k_block=8, interpret=True)
+        reused.max_in_flight = 0
+        buf = np.zeros(live.shape[0], np.float32)
+        for i in range(cut):
+            buf[:] = live[:, i]  # caller reuses ONE buffer per hop
+            reused.feed(buf)
+        buf[:] = -1.0  # and clobbers it after the last hop
+        reused.flush()
+
+    assert [tuple(p) for p in reused.path] == [tuple(p) for p in fresh.path]

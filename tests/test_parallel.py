@@ -564,3 +564,33 @@ def test_batched_set_live_banded_delegates_long_pairs(monkeypatch):
     for pd, pg in zip(direct, delegated):
         np.testing.assert_array_equal(np.asarray(pd), np.asarray(pg))
     assert abs(float(mean_d) - float(mean_l)) < 1e-6
+
+
+def test_multistream_feed_copies_queued_columns():
+    """Same hazard as the solo feed: queued (B, F) column rows must be
+    copied on ingest, not aliased to the caller's reused batch buffer."""
+    from real_time_audio_sync_tpu.parallel.serving import FusedMultiStreamFollower
+
+    rng = np.random.default_rng(43)
+    ref, live = _make_pair(rng, n_ref=32, stretch=1.1)
+    cut = min(live.shape[1], 4 * 8 - 1)
+
+    fresh = FusedMultiStreamFollower(
+        ref, FMS_PARAMS, n_streams=2, k_block=8, interpret=True)
+    fresh.max_in_flight = 0  # saturate: feed() only queues
+    for t in range(cut):
+        fresh.feed(np.repeat(live[None, :, t], 2, axis=0))
+    fresh.flush()
+
+    reused = FusedMultiStreamFollower(
+        ref, FMS_PARAMS, n_streams=2, k_block=8, interpret=True)
+    reused.max_in_flight = 0
+    buf = np.zeros((2, live.shape[0]), np.float32)
+    for t in range(cut):
+        buf[:] = live[:, t]
+        reused.feed(buf)
+    buf[:] = -1.0
+    reused.flush()
+
+    for pf, pr in zip(fresh.paths(), reused.paths()):
+        np.testing.assert_array_equal(pf, pr)
