@@ -186,29 +186,36 @@ class StatusPolling:
     # -- reads (relay round-trips, rate-limited) -----------------------------
 
     def _harvest(self):
-        # If a read is already in flight, KEEP the entry — it stays the
-        # newest completed vector and is harvested after the in-flight read
-        # drains (or consumed directly by a blocking poll).  Popping it here
-        # would lose the FINAL status irrecoverably when no further dispatch
-        # arrives: stop detection and last_point would never surface, even
-        # through flush().
-        if self.async_harvest and self._harvest_future is not None:
-            return None
-        frames, status = self._latest_done
-        self._latest_done = None
         if not self.async_harvest:
+            entry, self._latest_done = self._latest_done, None
+            if entry is None:
+                return None
+            frames, status = entry
             return self._consume_status(np.asarray(status), frames)
-        # hand the blocking RPC to the worker; consumed by a later
-        # _drain_harvest on the caller thread
-        if self._harvest_pool is None:
-            import concurrent.futures
+        # Pop-and-submit atomically.  If a read is already in flight, KEEP
+        # the entry — it stays the newest completed vector and is harvested
+        # after the in-flight read drains (or consumed directly by a
+        # blocking poll).  Popping it while a read is in flight would lose
+        # the FINAL status irrecoverably when no further dispatch arrives:
+        # stop detection and last_point would never surface, even through
+        # flush().  The lock also stops two racing pollers from
+        # double-popping (the loser would submit None).
+        with self._drain_lock:
+            if self._harvest_future is not None or self._latest_done is None:
+                return None
+            frames, status = self._latest_done
+            self._latest_done = None
+            # hand the blocking RPC to the worker; consumed by a later
+            # _drain_harvest on the caller thread
+            if self._harvest_pool is None:
+                import concurrent.futures
 
-            self._harvest_pool = concurrent.futures.ThreadPoolExecutor(
-                max_workers=1, thread_name_prefix="rtas-harvest"
+                self._harvest_pool = concurrent.futures.ThreadPoolExecutor(
+                    max_workers=1, thread_name_prefix="rtas-harvest"
+                )
+            self._harvest_future = self._harvest_pool.submit(
+                lambda f=frames, s=status: (f, np.asarray(s))
             )
-        self._harvest_future = self._harvest_pool.submit(
-            lambda f=frames, s=status: (f, np.asarray(s))
-        )
         return None
 
     def poll(self, block: bool = False):
