@@ -145,7 +145,8 @@ def main() -> int:
     run_feed_stream()  # compile
     feed_wall, feed_eng = min((run_feed_stream() for _ in range(3)), key=lambda x: x[0])
     rtf = audio_sec / feed_wall
-    sizes = getattr(feed_eng, "dispatched_block_sizes", [1])
+    # the XLA fallback has no coalescing: every frame is its own launch
+    sizes = getattr(feed_eng, "dispatched_block_sizes", None) or [1] * n_frames
     log(f"adaptive per-frame streaming ({backend}, coalesce<=k{FEED_K}): "
         f"{feed_wall/n_frames*1e3:.3f} ms/frame -> RTF {rtf:.0f}x "
         f"({len(sizes)} launches, p50 block {int(np.median(sizes))})")
