@@ -265,6 +265,12 @@ class StatusPolling:
     def _consume_status(self, vec, frames: Optional[int] = None):
         if frames is None:  # synchronous read: covers everything dispatched
             frames = self._frames_dispatched
+        if frames < self._last_point_frames:
+            # stale vector ordered behind a newer harvest (possible only
+            # with concurrent pollers interleaving _probe): the newer
+            # cumulative vector subsumes it — consuming it would move
+            # last_point BACKWARDS and corrupt the staleness accounting
+            return "stop" if self._stopped_cached else None
         self.staleness_log.append(self._frames_dispatched - frames)
         self._last_point_frames = frames
         flags = int(vec[0])
