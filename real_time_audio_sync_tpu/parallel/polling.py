@@ -9,6 +9,13 @@ vector subsumes everything dispatched before it.
 
 Subclasses provide ``_consume(vec)`` (apply one harvested status array to
 ``self._stopped`` and friends) and may override ``_harvest_thread_name``.
+
+Thread model: ONE feed/dispatch thread; ``stopped``/``last_points`` readers
+may poll concurrently (the claim lock serializes the future swap and the
+probe/pop/submit sequence).  A background read settled out of order can
+transiently report an older ``last_points`` — stop masks are monotone ORs
+and unaffected; position readers see at worst one extra poll interval of
+staleness.
 """
 
 from __future__ import annotations
