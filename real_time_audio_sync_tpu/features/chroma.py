@@ -83,6 +83,23 @@ def host_frontend_constants(n_fft: int = FFT_LEN, fs: int = FS, dtype=np.float32
     return _HOST_CONST_CACHE[key]
 
 
+_HOST_FB2_CACHE: dict = {}
+
+
+def _host_fb_interleaved(n_fft: int, fs: int) -> np.ndarray:
+    """(2K, 12) float32 filterbank with each row doubled, matching the
+    re,im interleaving of a complex64 buffer viewed as float32 — so
+    ``v² @ fb2`` computes the power-spectrum projection directly from the
+    squared complex components (f32 fast path of
+    :func:`host_chroma_frames`)."""
+    key = (n_fft, fs)
+    if key not in _HOST_FB2_CACHE:
+        _, fb_t = host_frontend_constants(n_fft, fs, np.float32)
+        _HOST_FB2_CACHE[key] = np.ascontiguousarray(
+            np.repeat(fb_t, 2, axis=0))
+    return _HOST_FB2_CACHE[key]
+
+
 def host_chroma_frames(frames: np.ndarray, n_fft: int = FFT_LEN, fs: int = FS,
                        normalize: bool = True) -> np.ndarray:
     """(T, n_fft) raw frames → (12, T) chroma, entirely on the host.
@@ -97,9 +114,14 @@ def host_chroma_frames(frames: np.ndarray, n_fft: int = FFT_LEN, fs: int = FS,
     For float32 frames the rDFT runs through ``scipy.fft`` (native-f32
     pocketfft — ~5x faster than ``np.fft.rfft``'s internally-f64 transform
     at serving batch sizes, where host extraction is the multi-stream
-    chroma-transfer throughput ceiling); float64 frames (the CPU parity /
-    debug dtype) keep ``np.fft.rfft`` so parity-test numerics are stable
-    across scipy versions."""
+    chroma-transfer throughput ceiling), and the power spectrum never
+    materializes: the complex64 buffer is squared in place as a float32
+    view and projected through a re/im-interleaved copy of the filterbank
+    (``Σ_k (re²+im²)·fb_k = Σ_k re²·fb_k + im²·fb_k``), saving the two
+    strided ``.real``/``.imag`` copies and two elementwise passes that
+    profiling showed cost as much as the FFT itself.  Float64 frames (the
+    CPU parity / debug dtype) keep ``np.fft.rfft`` and the explicit power
+    spectrum so parity-test numerics are stable across scipy versions."""
     dtype = np.dtype(frames.dtype)
     win, fb_t = host_frontend_constants(n_fft, fs, dtype)
     wf = frames * win[None, :]
@@ -107,13 +129,18 @@ def host_chroma_frames(frames: np.ndarray, n_fft: int = FFT_LEN, fs: int = FS,
         try:
             from scipy import fft as _sfft
 
-            spec = _sfft.rfft(wf, axis=1, workers=os.cpu_count() or 1)
+            # wf is a fresh buffer: let pocketfft transform it in place.
+            spec = _sfft.rfft(wf, axis=1, overwrite_x=True,
+                              workers=os.cpu_count() or 1)
         except ImportError:  # pragma: no cover - scipy is baked in
             spec = np.fft.rfft(wf, axis=1)
+        v = spec.view(np.float32)  # (T, 2K) interleaved re,im — free view
+        np.multiply(v, v, out=v)  # spec is dead past this point
+        raw = v @ _host_fb_interleaved(n_fft, fs)  # (T, 12)
     else:
         spec = np.fft.rfft(wf, axis=1)
-    power = (spec.real.astype(dtype) ** 2 + spec.imag.astype(dtype) ** 2)
-    raw = power @ fb_t  # (T, 12)
+        power = (spec.real.astype(dtype) ** 2 + spec.imag.astype(dtype) ** 2)
+        raw = power @ fb_t  # (T, 12)
     if normalize:
         norm = np.sqrt(np.sum(raw * raw, axis=1, keepdims=True))
         tiny = np.finfo(dtype).tiny

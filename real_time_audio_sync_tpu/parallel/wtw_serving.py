@@ -163,28 +163,34 @@ class MultiStreamWTW(BatchedStatusPolling):
         k_block) host-extracted chroma columns for ``transfer_dtype=
         "chroma"`` (one batched rfft over all B·k_block frames)."""
         if self.transfer_dtype == "chroma":
-            # FFT only the streams with new columns: the host rfft is the
-            # serving throughput ceiling, and under skewed feeds most
-            # streams dispatch with k=0 — FFTing their all-zero frames
-            # would waste up to ~B x 4096-point transforms per dispatch
-            active = [i for i, k in enumerate(ks) if k > 0]
+            # FFT only the VALID frames: the host rfft is the serving
+            # throughput ceiling, and under skewed feeds streams dispatch
+            # with 0 <= k < k_block new columns — transforming their
+            # padding would waste up to ~B x k_block 4096-point FFTs per
+            # dispatch.  Valid frames pack into one ragged batch (a single
+            # pocketfft call); columns past k stay zero, which the device
+            # masks by n_valid exactly like the nonzero padding chroma the
+            # unpacked path used to ship (the payload past k is dont-care).
+            active = [(i, int(k)) for i, k in enumerate(ks) if k > 0]
             out = np.zeros((self.b, 12, self.k_block), self.dtype)
             if not active:
                 return out
-            frames = np.zeros((len(active), self.k_block, self.fft_len), self.dtype)
-            for row, i in enumerate(active):
-                span = build_span(self.bufs[i], int(ks[i]), self.k_block,
+            frames = np.zeros((sum(k for _, k in active), self.fft_len),
+                              self.dtype)
+            row = 0
+            for i, k in active:
+                span = build_span(self.bufs[i], k, self.k_block,
                                   self.hop_size, self.fft_len, self.dtype)
                 stride = span.strides[0]
-                frames[row] = np.lib.stride_tricks.as_strided(
-                    span, shape=(self.k_block, self.fft_len),
+                frames[row:row + k] = np.lib.stride_tricks.as_strided(
+                    span, shape=(k, self.fft_len),
                     strides=(self.hop_size * stride, stride))
-            cols = host_chroma_frames(
-                frames.reshape(len(active) * self.k_block, self.fft_len),
-                n_fft=self.fft_len)  # (12, len(active)*k_block)
-            cols = cols.reshape(12, len(active), self.k_block).transpose(1, 0, 2)
-            for row, i in enumerate(active):
-                out[i] = cols[row]
+                row += k
+            cols = host_chroma_frames(frames, n_fft=self.fft_len)
+            row = 0
+            for i, k in active:
+                out[i, :, :k] = cols[:, row:row + k]
+                row += k
             return out
         spans = np.zeros((self.b, self._span_len), self.dtype)
         for i, k in enumerate(ks):
