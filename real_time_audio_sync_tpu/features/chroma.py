@@ -101,7 +101,8 @@ def _host_fb_interleaved(n_fft: int, fs: int) -> np.ndarray:
 
 
 def host_chroma_frames(frames: np.ndarray, n_fft: int = FFT_LEN, fs: int = FS,
-                       normalize: bool = True) -> np.ndarray:
+                       normalize: bool = True,
+                       overwrite_frames: bool = False) -> np.ndarray:
     """(T, n_fft) raw frames → (12, T) chroma, entirely on the host.
 
     Same pipeline as :func:`_chroma_frames_impl` (window → rDFT → power →
@@ -121,10 +122,19 @@ def host_chroma_frames(frames: np.ndarray, n_fft: int = FFT_LEN, fs: int = FS,
     strided ``.real``/``.imag`` copies and two elementwise passes that
     profiling showed cost as much as the FFT itself.  Float64 frames (the
     CPU parity / debug dtype) keep ``np.fft.rfft`` and the explicit power
-    spectrum so parity-test numerics are stable across scipy versions."""
+    spectrum so parity-test numerics are stable across scipy versions.
+
+    ``overwrite_frames=True`` lets the window multiply run in place,
+    destroying ``frames`` — only valid when the caller owns the buffer and
+    its rows don't alias (NOT for the hop-strided overlapping views
+    :func:`~real_time_audio_sync_tpu.models.wtw_async.host_chroma_block`
+    builds, where an in-place multiply would corrupt later rows)."""
     dtype = np.dtype(frames.dtype)
     win, fb_t = host_frontend_constants(n_fft, fs, dtype)
-    wf = frames * win[None, :]
+    if overwrite_frames and frames.flags.writeable:
+        wf = np.multiply(frames, win, out=frames)
+    else:
+        wf = frames * win[None, :]
     if dtype == np.float32:
         try:
             from scipy import fft as _sfft

@@ -186,7 +186,8 @@ class MultiStreamWTW(BatchedStatusPolling):
                     span, shape=(k, self.fft_len),
                     strides=(self.hop_size * stride, stride))
                 row += k
-            cols = host_chroma_frames(frames, n_fft=self.fft_len)
+            cols = host_chroma_frames(frames, n_fft=self.fft_len,
+                                      overwrite_frames=True)
             row = 0
             for i, k in active:
                 out[i, :, :k] = cols[:, row:row + k]
