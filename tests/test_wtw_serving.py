@@ -202,6 +202,43 @@ def test_chroma_transfer_matches_float32_paths():
     assert ms.pointers() == [b.pointers, b.pointers]
 
 
+def test_chroma_spans_ragged_packing_contract():
+    """The serving span packer FFTs only the valid frames of partial blocks
+    (one ragged batch).  Contract: for every stream, columns [:k] equal the
+    solo host extractor's on the same samples, and columns [k:] are zero
+    (don't-care on device, masked by n_valid in-program)."""
+    from real_time_audio_sync_tpu.models.wtw_async import (
+        SampleFIFO, host_chroma_block)
+
+    rng = np.random.default_rng(17)
+    params = {"fft_len": 4096, "hop_size": 2048,
+              "dtw_win_size": 4096 * 3, "dtw_hop_size": 2048 * 3}
+    wav = (0.2 * rng.standard_normal(22050 * 3)).astype(np.float32)
+    ms = MultiStreamWTW([wav, wav, wav], params, k_block=4,
+                        transfer_dtype="chroma")
+    # hand-fill the FIFOs to pin per-stream k: 4 (full), 2 (partial), 0
+    n_for = lambda k: (k - 1) * 2048 + 4096
+    ms.bufs[0].extend(wav[: n_for(4)].copy())
+    ms.bufs[1].extend(wav[: n_for(2)].copy())
+    ks = np.array([4, 2, 0])
+
+    solo = [SampleFIFO(np.float32) for _ in range(2)]
+    solo[0].extend(wav[: n_for(4)].copy())
+    solo[1].extend(wav[: n_for(2)].copy())
+    want0 = host_chroma_block(solo[0], 4, 4, 2048, 4096, np.float32)
+    want1 = host_chroma_block(solo[1], 2, 4, 2048, 4096, np.float32)
+
+    out = ms._spans(ks)
+    assert out.shape == (3, 12, 4)
+    np.testing.assert_array_equal(out[0], want0)
+    np.testing.assert_array_equal(out[1, :, :2], want1[:, :2])
+    assert (out[1, :, 2:] == 0).all()  # padding columns ship as zeros
+    assert (out[2] == 0).all()  # k=0 stream untouched
+    # the packer consumed exactly k*hop samples per stream
+    assert len(ms.bufs[0]) == n_for(4) - 4 * 2048
+    assert len(ms.bufs[1]) == n_for(2) - 2 * 2048
+
+
 def test_transfer_dtype_validation():
     params = {"fft_len": 4096, "hop_size": 2048,
               "dtw_win_size": 4096 * 3, "dtw_hop_size": 2048 * 3}
