@@ -457,7 +457,17 @@ class FusedMultiStreamFollower(BatchedStatusPolling):
         self._stopped |= (vec[:, 0] & 1).astype(bool)
         if (vec[:, 0] & 2).any():  # pragma: no cover - design invariant
             raise AssertionError("column-phase loop bound violated")
-        self._last_points = vec[:, 1:4].astype(np.int64)
+        # Per-row monotone guard: with concurrent pollers a background read
+        # can settle AFTER a newer vector was consumed (polling.py thread
+        # model).  The status rows are cumulative — (plen, live) never
+        # decreases per stream — so only rows at-or-ahead of the current
+        # snapshot are applied; the solo engines' stale-vector guard
+        # (online_core._consume_status), row-wise.
+        pts = vec[:, 1:4].astype(np.int64)
+        cur = self._last_points
+        newer = (pts[:, 0] > cur[:, 0]) | (
+            (pts[:, 0] == cur[:, 0]) & (pts[:, 1] >= cur[:, 1]))
+        self._last_points = np.where(newer[:, None], pts, cur)
 
     def flush(self) -> np.ndarray:
         """Dispatch all queued columns and wait for every in-flight launch;

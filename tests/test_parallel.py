@@ -546,6 +546,30 @@ def test_batched_harvest_keeps_final_status_when_read_in_flight():
     assert f._stopped.all()
 
 
+def test_multistream_consume_is_monotone_per_stream():
+    """Regression: with concurrent pollers a background read can settle
+    AFTER a newer vector was consumed (polling.py thread model).  The
+    cumulative (plen, live) status rows must never move last_points
+    BACKWARDS — the batched analog of the solo stale-vector guard
+    (online_core._consume_status)."""
+    from real_time_audio_sync_tpu.parallel import FusedMultiStreamFollower
+
+    rng = np.random.default_rng(44)
+    ref, _ = _make_pair(rng, n_ref=32, stretch=1.0)
+    fms = FusedMultiStreamFollower(ref, FMS_PARAMS, n_streams=2, k_block=8,
+                                   interpret=True)
+    newer = np.zeros((2, 8), np.int32)
+    newer[0, 1:4] = (5, 9, 7)  # stream 0: plen 5 at (9, 7)
+    newer[1, 1:4] = (3, 4, 4)
+    fms._consume(newer)
+    older = np.zeros((2, 8), np.int32)
+    older[0, 1:4] = (4, 8, 6)  # stale for stream 0 ...
+    older[1, 1:4] = (3, 6, 5)  # ... but NEWER for stream 1 (same plen)
+    fms._consume(older)
+    assert tuple(fms._last_points[0]) == (5, 9, 7)  # kept
+    assert tuple(fms._last_points[1]) == (3, 6, 5)  # advanced row-wise
+
+
 def test_batched_set_live_banded_delegates_long_pairs(monkeypatch):
     """Hour-scale corpus batches must not reach the whole-sequence batched
     kernel (its VMEM/SMEM buffers scale with the padded lengths): the banded
