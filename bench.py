@@ -611,6 +611,25 @@ def main() -> int:
         log(f"multi-stream WTW capacity (B={B64}, chroma transfer): {w64*1e3:.0f} ms -> "
             f"aggregate RTF {B64*audio_sec/w64:.0f}x ({audio_sec/w64:.1f}x per stream, "
             f"path0 {n64} pts)")
+
+        # the capacity floor itself: host chroma extraction throughput at the
+        # B=256 dispatch granularity (pure host — window in place, pocketfft
+        # rfft, complex-view power folded into the filterbank matmul)
+        from real_time_audio_sync_tpu.features.chroma import host_chroma_frames
+
+        hc_frames = np.random.default_rng(0).standard_normal(
+            (256 * 8, 4096)).astype(np.float32)
+        host_chroma_frames(hc_frames.copy(), overwrite_frames=True)  # warm
+        hc_walls = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            host_chroma_frames(hc_frames.copy(), overwrite_frames=True)
+            hc_walls.append(time.perf_counter() - t0)
+        us_f = min(hc_walls) / hc_frames.shape[0] * 1e6
+        fps = 1.0 / HOP_SEC  # 10.77 feature frames per audio second
+        log(f"host chroma extraction (serving floor, {hc_frames.shape[0]} frames/dispatch): "
+            f"{us_f:.1f} us/frame -> sustains ~{1.0/(us_f*1e-6)/fps:.0f} "
+            f"real-time streams on this single-core host (incl. the batch copy)")
     except Exception as e:
         log(f"WTW diagnostic skipped ({e})")
 
