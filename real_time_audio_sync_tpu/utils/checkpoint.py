@@ -238,7 +238,7 @@ def load_multi_stream_state(fms, path: str) -> None:
     fms._stopped = data["stopped"].astype(bool)
     fms._last_points = data["last_points"].astype(np.int64)
     # no queued columns or in-flight work survives a restore
-    fms._pending = [[] for _ in range(fms.b)]
+    fms._reset_pending()
     fms._outstanding = []
     fms._latest_done = None
     fms._harvest_future = None

@@ -618,3 +618,34 @@ def test_multistream_feed_copies_queued_columns():
 
     for pf, pr in zip(fresh.paths(), reused.paths()):
         np.testing.assert_array_equal(pf, pr)
+
+
+def test_multistream_feed_past_queue_capacity():
+    """Feeding past 4*k_block queued columns must force a dispatch even with
+    the launch pipeline saturated (max_in_flight=0): the columnar queue is a
+    fixed (B, 4*k_block, F) buffer, so a broken drain invariant would either
+    overflow the append index or drop frames.  Paths must match the solo
+    engine's exactly through the forced-dispatch boundary."""
+    from real_time_audio_sync_tpu.parallel.serving import FusedMultiStreamFollower
+
+    rng = np.random.default_rng(44)
+    ref, live = _make_pair(rng, n_ref=48, stretch=1.0)
+    k = 4
+    assert live.shape[1] > 5 * k  # crosses the 4*k_block boundary twice
+
+    fms = FusedMultiStreamFollower(
+        ref, FMS_PARAMS, n_streams=2, k_block=k, interpret=True)
+    fms.max_in_flight = 0  # only the capacity rule may dispatch
+    for t in range(live.shape[1]):
+        fms.feed(np.repeat(live[None, :, t], 2, axis=0))
+        assert int(fms._pend_n.max()) < 4 * k
+    fms.flush()
+
+    from real_time_audio_sync_tpu.models.fused_streaming import FusedStreamingEngine
+
+    solo = FusedStreamingEngine(ref, FMS_PARAMS, k_block=k, interpret=True)
+    for t in range(live.shape[1]):
+        solo.feed(live[:, t])
+    solo.flush()
+    for p in fms.paths():
+        np.testing.assert_array_equal(p, solo.path_array)
