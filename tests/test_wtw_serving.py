@@ -239,6 +239,73 @@ def test_chroma_spans_ragged_packing_contract():
     assert len(ms.bufs[1]) == n_for(2) - 2 * 2048
 
 
+@pytest.mark.parametrize("seed", [71, 72])
+def test_multistream_wtw_api_interleaving_fuzz(seed):
+    """Seeded fuzz over the raw-audio serving API: random per-stream buffer
+    sizes (including None = no new audio), opportunistic stopped/paths/
+    pointers reads under maximum harvest pressure, and one mid-stream
+    checkpoint/restore — committed paths and pointers must equal solo
+    AsyncWTW engines fed the identical chunk sequences."""
+    import os
+    import tempfile
+
+    from real_time_audio_sync_tpu.utils.checkpoint import (
+        load_multi_wtw_state, save_multi_wtw_state)
+
+    rng = np.random.default_rng(seed)
+    params = {"fft_len": 4096, "hop_size": 2048,
+              "dtw_win_size": 4096 * 3, "dtw_hop_size": 2048 * 3}
+    refs = [(0.2 * rng.standard_normal(22050 * (3 + i))).astype(np.float64)
+            for i in range(3)]
+    lives = [(r + 0.02 * rng.standard_normal(len(r))).astype(np.float64)[
+        : int(len(r) * rng.uniform(0.6, 1.0))] for r in refs]
+
+    ms = MultiStreamWTW(refs, params, k_block=4, dtype=np.float64)
+    ms.poll_min_interval = 0.0
+    fed: list = [[] for _ in refs]
+    ptrs = [0, 0, 0]
+    ck_at = int(rng.integers(5, 15))
+    step = 0
+    while any(p < len(lv) for p, lv in zip(ptrs, lives)):
+        bufs = []
+        for i, lv in enumerate(lives):
+            if ptrs[i] < len(lv) and rng.integers(0, 3):
+                n = int(rng.integers(500, 8000))
+                bufs.append(lv[ptrs[i] : ptrs[i] + n])
+                fed[i].append(bufs[-1])
+                ptrs[i] += n
+            else:
+                bufs.append(None)
+        ms.insert(bufs)
+        op = int(rng.integers(0, 5))
+        if op == 0:
+            _ = ms.stopped
+        elif op == 1:
+            _ = ms.pointers()
+        elif op == 2 and rng.integers(0, 4) == 0:
+            _ = ms.paths()
+        step += 1
+        if step == ck_at:
+            # save flushes first: every inserted sample is either processed
+            # or sitting in the snapshotted host FIFOs
+            with tempfile.TemporaryDirectory() as d:
+                ck = os.path.join(d, "ck.npz")
+                save_multi_wtw_state(ms, ck)
+                ms = MultiStreamWTW(refs, params, k_block=4, dtype=np.float64)
+                ms.poll_min_interval = 0.0
+                load_multi_wtw_state(ms, ck)
+    ms.flush()
+
+    for i in range(len(refs)):
+        solo = AsyncWTW(refs[i], params, k_block=4, dtype=np.float64)
+        for b in fed[i]:
+            if solo.insert(b) == "stop":
+                break
+        solo.flush()
+        assert ms.paths()[i] == solo.path
+        assert ms.pointers()[i] == solo.pointers
+
+
 def test_transfer_dtype_validation():
     params = {"fft_len": 4096, "hop_size": 2048,
               "dtw_win_size": 4096 * 3, "dtw_hop_size": 2048 * 3}
