@@ -34,6 +34,22 @@ from real_time_audio_sync_tpu.ops.wavefront import WTW_SPEC, backtrack, wavefron
 from real_time_audio_sync_tpu.utils.wavio import load_wav
 
 
+def _check_ref_window(m: int, params: WTWParams) -> None:
+    """Reject a reference shorter than one DTW window up front.  The
+    reference implementation would silently run a degenerate short-sliced
+    window (numpy clamps slices, wtw.py:100-104); the fixed-shape TPU
+    window kernels slice exactly ``w`` columns, so a too-short reference
+    is a hard error with guidance instead of a deep jit-time crash
+    (docs/PARITY.md deviation: graceful-rejection family)."""
+    w = params.dtw_win_size // params.hop_size
+    if m < w:
+        raise ValueError(
+            f"reference too short for WTW: {m} chroma frames < one DTW "
+            f"window of {w} frames (dtw_win_size={params.dtw_win_size} "
+            f"samples / hop_size={params.hop_size}); use a longer "
+            f"reference or a smaller dtw_win_size")
+
+
 class SampleFIFO:
     """Amortized-O(1) numpy sample queue replacing the reference's Python
     list buffer (wtw.py:73,81-83): the reference re-slices the whole list
@@ -151,6 +167,7 @@ class WTW:
 
         self.N = self.chroma_ref.shape[1] * 2  # live capacity (rows)
         self.M = self.chroma_ref.shape[1]  # ref length (cols)
+        _check_ref_window(self.M, self.params)
 
         # live chromagram lives ON DEVICE: per-hop column appends are async
         # dispatches and windows slice it in-program, so streaming never

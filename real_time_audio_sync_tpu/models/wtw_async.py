@@ -45,7 +45,8 @@ from real_time_audio_sync_tpu.features.chroma import (
     host_chroma_frames,
 )
 from real_time_audio_sync_tpu.models.online_core import StatusPolling
-from real_time_audio_sync_tpu.models.wtw import SampleFIFO, _window_cost
+from real_time_audio_sync_tpu.models.wtw import (SampleFIFO, _check_ref_window,
+                                                 _window_cost)
 from real_time_audio_sync_tpu.ops.wavefront import WTW_SPEC, backtrack, wavefront_dp
 from real_time_audio_sync_tpu.utils.wavio import load_wav
 
@@ -421,6 +422,7 @@ class AsyncWTW(StatusPolling):
 
         self.chroma_ref = chroma_from_samples(self.ref, dtype=self.dtype)
         self.M = self.chroma_ref.shape[1]
+        _check_ref_window(self.M, self.params)
         self.N = 2 * self.M  # live capacity (wtw.py:52)
         f = self.chroma_ref.shape[0]
 

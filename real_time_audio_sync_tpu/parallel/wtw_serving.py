@@ -35,7 +35,7 @@ from real_time_audio_sync_tpu.features.chroma import (
     frontend_constants,
     host_chroma_frames,
 )
-from real_time_audio_sync_tpu.models.wtw import SampleFIFO
+from real_time_audio_sync_tpu.models.wtw import SampleFIFO, _check_ref_window
 from real_time_audio_sync_tpu.parallel.polling import BatchedStatusPolling
 from real_time_audio_sync_tpu.models.wtw_async import (
     _W_CHROMA,
@@ -92,19 +92,37 @@ class MultiStreamWTW(BatchedStatusPolling):
         self._w = self.params.dtw_win_size // self.hop_size
         self._hop_frames = self.params.dtw_hop_size // self.hop_size
 
+        # Dedupe identical refs before the (expensive) chroma extraction:
+        # the common serving shape is B listeners on ONE concert, where
+        # recomputing the reference chromagram per stream turns setup into
+        # O(B · ref_minutes) host FFT work.  Keyed by path for file refs and
+        # by object identity for array refs (the shared-reference pattern
+        # passes the same array B times); distinct-but-equal arrays are
+        # simply not deduped.
         ref_chromas = []
+        memo: dict = {}
         for r in refs:
+            key = r if isinstance(r, (str, bytes)) else id(r)
+            if key in memo:
+                ref_chromas.append(memo[key])
+                continue
             if isinstance(r, (str, bytes)):
                 wav, fs = load_wav(r)
                 assert fs == 22050
             else:
                 wav = np.asarray(r)
-            ref_chromas.append(chroma_from_samples(wav, dtype=self.dtype))
+            memo[key] = chroma_from_samples(wav, dtype=self.dtype)
+            ref_chromas.append(memo[key])
         self.b = len(ref_chromas)
         if self.b == 0:
             raise ValueError("need at least one stream")
         f = ref_chromas[0].shape[0]
         self.ms = np.asarray([c.shape[1] for c in ref_chromas], np.int32)
+        for i, c in enumerate(ref_chromas):
+            try:
+                _check_ref_window(c.shape[1], self.params)
+            except ValueError as e:
+                raise ValueError(f"stream {i}: {e}") from None
         m_max = int(self.ms.max())
         self.n_caps = (2 * self.ms).astype(np.int32)  # per-stream live cap (wtw.py:52)
         n_buf = 2 * m_max

@@ -291,3 +291,41 @@ def test_async_wtw_hoisted_matches_cols_impl(wtw_pair, hop_mult):
             break
     assert results["hoisted"][0] == host.path
     assert results["hoisted"][1][1:] == (host.live_ptr, host.ref_ptr)
+
+
+def test_short_reference_rejected_up_front():
+    """A reference shorter than one DTW window must raise a clear ValueError
+    at construction (the fixed-shape window kernels slice exactly w columns;
+    the reference impl would silently run a degenerate short window), not a
+    deep jit-time slice error."""
+    from real_time_audio_sync_tpu.models.wtw_async import AsyncWTW
+    from real_time_audio_sync_tpu.parallel.wtw_serving import MultiStreamWTW
+
+    short = np.zeros(2048 * 10, np.float32)  # ~10 frames < w=20
+    short[::3] = 0.5
+    for ctor in (lambda: WTW(_as_wav(short), WTW_PARAMS),
+                 lambda: AsyncWTW(short, WTW_PARAMS),
+                 lambda: MultiStreamWTW([short], WTW_PARAMS)):
+        with pytest.raises(ValueError, match="reference too short for WTW"):
+            ctor()
+
+
+def _as_wav(samples):
+    import tempfile
+
+    from real_time_audio_sync_tpu.utils.wavio import write_wav
+
+    f = tempfile.NamedTemporaryFile(suffix=".wav", delete=False)
+    write_wav(f.name, samples, 22050)
+    return f.name
+
+
+def test_chroma_from_samples_rejects_non_mono():
+    """2-D input (stereo, or a chroma array mistaken for samples) must be a
+    TypeError, not silently-garbled features."""
+    from real_time_audio_sync_tpu.features.chroma import chroma_from_samples
+
+    with pytest.raises(TypeError, match="1-D mono samples"):
+        chroma_from_samples(np.zeros((12, 380), np.float32))
+    with pytest.raises(TypeError, match="1-D mono samples"):
+        chroma_from_samples(np.zeros((22050, 2), np.float32))
