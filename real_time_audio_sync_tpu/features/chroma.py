@@ -123,8 +123,11 @@ def host_chroma_frames(frames: np.ndarray, n_fft: int = FFT_LEN, fs: int = FS,
     profiling showed cost as much as the FFT itself.  The f32 stages run
     cache-blocked over ~1 MB chunks of frames (window → rfft → square →
     project per chunk) so intermediates stay in L2 instead of streaming
-    the whole batch through DRAM once per stage — measured 1.2x at
-    T=2048, bit-identical (per-frame arithmetic unchanged).  Float64
+    the whole batch through DRAM once per stage — measured 1.2-1.5x at
+    T=2048.  Bit-identical to the monolithic pass when T fits one chunk;
+    beyond that, within f32 rounding (~2e-6: BLAS picks different
+    sgemm/gemv kernels per batch shape — the docs/PARITY.md deviation-8
+    class this host path always had across dispatch sizes).  Float64
     frames (the CPU parity / debug dtype) keep ``np.fft.rfft`` and the
     explicit power spectrum so parity-test numerics are stable across
     scipy versions.

@@ -161,3 +161,40 @@ def test_host_chroma_scipy_matches_numpy_reference():
     frames64 = frames.astype(np.float64)
     np.testing.assert_array_equal(host_chroma_frames(frames64),
                                   np_reference(frames64))
+
+
+def test_host_chroma_chunking_invariant():
+    """The cache-blocked f32 path (window→rfft→square→project per ~1 MB
+    chunk) must be bit-identical to the previous monolithic pass whenever
+    T fits one chunk (identical shapes ⇒ identical arithmetic), within f32
+    rounding beyond that (BLAS picks different sgemm/gemv kernels per batch
+    shape — the docs/PARITY.md deviation-8 class, which host extraction
+    always had across dispatch sizes), and must never touch the caller's
+    frames even with overwrite_frames=True."""
+    from real_time_audio_sync_tpu.features.chroma import (
+        host_chroma_frames,
+        host_frontend_constants,
+        _host_fb_interleaved,
+    )
+    from scipy import fft as sfft
+
+    def old_monolithic(fr):
+        win, _ = host_frontend_constants(4096, 22050, np.float32)
+        v = sfft.rfft(fr * win, axis=1).view(np.float32)
+        raw = (v * v) @ _host_fb_interleaved(4096, 22050)
+        norm = np.sqrt(np.sum(raw * raw, axis=1, keepdims=True))
+        tiny = np.finfo(np.float32).tiny
+        return np.ascontiguousarray(
+            (raw / np.where(norm < tiny, np.ones_like(norm), norm)).T)
+
+    rng = np.random.default_rng(7)
+    chunk = (1 << 20) // (4 * 4096)  # the implementation's chunk rows (64)
+    big = rng.standard_normal((2 * chunk + 3, 4096)).astype(np.float32)
+    for t in (1, chunk - 1, chunk, chunk + 1, 2 * chunk + 3):
+        sub = np.array(big[:t], copy=True)
+        got = host_chroma_frames(sub, overwrite_frames=True)
+        if t <= chunk:
+            np.testing.assert_array_equal(got, old_monolithic(big[:t]))
+        else:
+            np.testing.assert_allclose(got, old_monolithic(big[:t]), atol=2e-6)
+        np.testing.assert_array_equal(sub, big[:t])  # caller buffer intact
