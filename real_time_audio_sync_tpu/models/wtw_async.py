@@ -333,7 +333,7 @@ def _make_async_wtw_step(f: int, w: int, hop_frames: int, k_pad: int,
 
 def _make_multi_wtw_step(f: int, w: int, hop_frames: int, k_pad: int,
                          backend: str, fft: int, hop: int, hoisted: bool = True,
-                         transfer: str = "float32"):
+                         transfer: str = "float32", shared_ref: bool = False):
     """Jitted B-stream block step: the body vmapped over the stream axis of
     every per-stream argument (frontend constants are shared).  One device
     dispatch advances all B streams; per-frame DP state stays stream-local,
@@ -341,10 +341,17 @@ def _make_multi_wtw_step(f: int, w: int, hop_frames: int, k_pad: int,
     (SURVEY.md §5.8).  The hoisted body matters most here: under vmap a
     per-column cond becomes a both-branches select for the whole batch, so
     hoisting cuts the window-DP executions per block from k_pad to
-    1+⌈(k_pad−1)/hop_frames⌉."""
+    1+⌈(k_pad−1)/hop_frames⌉.
+
+    ``shared_ref=True`` broadcasts ONE (f, m) reference chromagram to every
+    stream (vmap in_axes=None) instead of carrying a (B, f, m) stack — the
+    B-listeners-one-concert serving shape stores the reference once (at
+    hour scale: ~2 MB instead of ~0.5 GB at B=256); the batched window
+    starts turn the ref slices into gathers, arithmetic unchanged."""
     body = _make_block_body(f, w, hop_frames, k_pad, backend, fft, hop, hoisted,
                             transfer)
-    vbody = jax.vmap(body, in_axes=(0,) * 9 + (None,) * 4)
+    ref_ax = None if shared_ref else 0
+    vbody = jax.vmap(body, in_axes=(0, ref_ax) + (0,) * 7 + (None,) * 4)
     return partial(jax.jit, donate_argnums=(0, 2, 3, 4))(vbody)
 
 

@@ -27,7 +27,7 @@ from typing import List, Optional, Sequence, Tuple
 
 import jax
 import numpy as np
-from jax.sharding import Mesh
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from real_time_audio_sync_tpu.config import WTWParams
 from real_time_audio_sync_tpu.features.chroma import (
@@ -127,9 +127,19 @@ class MultiStreamWTW(BatchedStatusPolling):
         self.n_caps = (2 * self.ms).astype(np.int32)  # per-stream live cap (wtw.py:52)
         n_buf = 2 * m_max
 
-        refs_padded = np.zeros((self.b, f, m_max), self.dtype)
-        for i, c in enumerate(ref_chromas):
-            refs_padded[i, :, : c.shape[1]] = c
+        # Shared-reference mode: when every stream follows the SAME
+        # recording (the B-listeners-one-concert serving shape), store the
+        # reference chromagram once and let vmap broadcast it (in_axes=None)
+        # instead of stacking B copies on device — at hour scale the stack
+        # is ~0.5 GB at B=256, the single copy ~2 MB.  Mixed refs keep the
+        # (B, f, m_max) stack.
+        self._shared_ref = len(memo) == 1
+        if self._shared_ref:
+            refs_padded = np.ascontiguousarray(ref_chromas[0], self.dtype)
+        else:
+            refs_padded = np.zeros((self.b, f, m_max), self.dtype)
+            for i, c in enumerate(ref_chromas):
+                refs_padded[i, :, : c.shape[1]] = c
         p_cap = (n_buf // self._hop_frames + 2) * (2 * self._w - 1) + 64
 
         # mesh: shard every batched leaf along the stream axis (all mesh
@@ -146,7 +156,14 @@ class MultiStreamWTW(BatchedStatusPolling):
             put_init = jax.device_put
             self._put_step = lambda x: x
 
-        self._ref_dev = put_init(refs_padded)
+        if self._shared_ref and mesh is not None:
+            # the shared ref is consumed unbatched — replicate it across the
+            # mesh (the batch-axis put would shard its leading dim, which is
+            # the feature axis here)
+            self._ref_dev = jax.device_put(
+                refs_padded, NamedSharding(mesh, P()))
+        else:
+            self._ref_dev = put_init(refs_padded)
         self._live_dev = put_init(np.zeros((self.b, f, n_buf), self.dtype))
         self._m_dev = put_init(self.ms)
         self._ncap_dev = put_init(self.n_caps)
@@ -162,7 +179,7 @@ class MultiStreamWTW(BatchedStatusPolling):
         self._step = _make_multi_wtw_step(
             f, self._w, self._hop_frames, self.k_block, "scan",
             self.fft_len, self.hop_size,
-            transfer=self.transfer_dtype,
+            transfer=self.transfer_dtype, shared_ref=self._shared_ref,
         )
         self._frontend_consts = frontend_constants(self.fft_len, 22050, self.dtype)
 

@@ -315,3 +315,30 @@ def test_transfer_dtype_validation():
         AsyncWTW(wav, params, transfer_dtype="int8")
     with pytest.raises(ValueError, match="transfer_dtype"):
         MultiStreamWTW([wav], params, transfer_dtype="int8")
+
+
+def test_shared_ref_mode_matches_stacked(chopin_pair):
+    """B streams on ONE recording broadcast a single (f, m) reference
+    through vmap (in_axes=None) instead of stacking B copies; committed
+    paths, pointers and stop must equal the stacked mode bit-for-bit
+    (f64: immune to batch-shape accumulation)."""
+    ref_wav, live_wav = chopin_pair
+    rub, _ = load_wav(ref_wav)
+    rach, _ = load_wav(live_wav)
+    live = rach[: len(rach) // 2]
+
+    shared = MultiStreamWTW([rub, rub], WTW_PARAMS, k_block=8,
+                            dtype=np.float64)
+    assert shared._shared_ref and shared._ref_dev.ndim == 2
+    # distinct array objects defeat the identity memo -> stacked mode
+    stacked = MultiStreamWTW([rub, rub.copy()], WTW_PARAMS, k_block=8,
+                             dtype=np.float64)
+    assert not stacked._shared_ref and stacked._ref_dev.ndim == 3
+    for ms in (shared, stacked):
+        for b in np.array_split(live, 23):
+            ms.insert([b, b[: len(b) // 2]])
+        ms.flush()
+    assert shared.paths() == stacked.paths()
+    assert shared.pointers() == stacked.pointers()
+    assert (shared.stopped == stacked.stopped).all()
+    assert len(shared.paths()[0]) > 10
