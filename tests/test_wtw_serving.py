@@ -51,24 +51,34 @@ def test_multistream_wtw_matches_solo_engines(chopin_pair):
 
 
 def test_multistream_wtw_sharded_over_mesh(chopin_pair):
-    """8 identical streams sharded over the 8-virtual-device mesh commit the
-    same path as an unsharded single stream (zero cross-chip communication
-    by construction)."""
+    """8 MIXED-reference streams sharded over the 8-virtual-device mesh
+    commit the same paths as unsharded single streams (zero cross-chip
+    communication by construction).  Mixed refs pin the stacked
+    batch-sharded reference layout; the shared-reference (replicated)
+    layout under a mesh is exercised by __graft_entry__.dryrun_multichip
+    and test_shared_ref_mode_matches_stacked."""
     ref_wav, live_wav = chopin_pair
     rach, _ = load_wav(live_wav)
     rach = rach[: len(rach) // 2]
     mesh = corpus_mesh()
-    ms = MultiStreamWTW([ref_wav] * 8, WTW_PARAMS, k_block=8,
+    refs = [ref_wav, live_wav] * 4
+    ms = MultiStreamWTW(refs, WTW_PARAMS, k_block=8,
                         dtype=np.float64, mesh=mesh)
-    one = MultiStreamWTW([ref_wav], WTW_PARAMS, k_block=8, dtype=np.float64)
+    assert not ms._shared_ref
+    solo = {w: MultiStreamWTW([w], WTW_PARAMS, k_block=8, dtype=np.float64)
+            for w in (ref_wav, live_wav)}
     for b in np.array_split(rach, 32):
         ms.insert([b] * 8)
-        one.insert([b])
+        for one in solo.values():
+            one.insert([b])
     ms.flush()
-    one.flush()
-    ref_path = one.paths()[0]
-    assert len(ref_path) > 50
-    assert all(p == ref_path for p in ms.paths())
+    want = {}
+    for w, one in solo.items():
+        one.flush()
+        want[w] = one.paths()[0]
+        assert len(want[w]) > 50
+    for i, p in enumerate(ms.paths()):
+        assert p == want[refs[i]]
 
 
 def test_multistream_wtw_validation(chopin_pair):
