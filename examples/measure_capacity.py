@@ -1,0 +1,139 @@
+"""Serving-capacity measurement harness (run on the real TPU).
+
+Measures the sustained per-stream real-time factor of the two serving
+layers at configurable batch sizes — the numbers behind docs/SERVING.md's
+capacity tables.  One mode per invocation so a relay hiccup never poisons
+more than one measurement:
+
+    python examples/measure_capacity.py otw      --b 256 512 1024
+    python examples/measure_capacity.py otw-long --b 64 256 --ref-min 60
+    python examples/measure_capacity.py wtw      --b 64 128 256
+    python examples/measure_capacity.py wtw-long --b 64 --ref-min 60
+
+Methodology (matches docs/STATUS.md round-3 runs): synthetic unit-norm
+chroma / low-amplitude noise audio, full-rate feed (the engine is the
+bottleneck, not the source), wall-clock from first feed to flush(),
+RT/stream = streamed_audio_seconds / wall.  Every mode checks one
+stream's committed path against the corresponding solo engine on the same
+audio, so a capacity number can never come from a diverged configuration.
+The relay's minute-to-minute congestion moves absolute numbers 2-3x
+(docs/STATUS.md platform findings) — compare points within one invocation,
+not across days.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+HOP_S = 2048 / 22050.0
+OTW_PARAMS = {"c": 50, "max_run_count": 3}
+WTW_PARAMS = {"fft_len": 4096, "hop_size": 2048,
+              "dtw_win_size": 4096 * 10, "dtw_hop_size": 2048 * 10}
+
+
+def _unit_chroma(rng, t):
+    c = rng.random((12, t), np.float32) + 1e-3
+    return c / np.linalg.norm(c, axis=0, keepdims=True)
+
+
+def measure_otw(b_list, n_ref, hops, long_ref=None, interpret=False):
+    from real_time_audio_sync_tpu.models.fused_streaming import FusedStreamingEngine
+    from real_time_audio_sync_tpu.parallel.serving import FusedMultiStreamFollower
+
+    rng = np.random.default_rng(0)
+    ref = _unit_chroma(rng, n_ref)
+    live = _unit_chroma(rng, hops)
+
+    solo = FusedStreamingEngine(ref, OTW_PARAMS, long_ref=long_ref,
+                                interpret=interpret)
+    for i in range(hops):
+        solo.feed(live[:, i])
+    solo.flush()
+    solo_path = solo.path
+
+    for b in b_list:
+        fms = FusedMultiStreamFollower(ref, OTW_PARAMS, n_streams=b,
+                                       long_ref=long_ref, interpret=interpret)
+        # parity spot-check on a short prefix is pointless mid-stream state;
+        # run the full feed and compare stream 0 afterwards.
+        cols = np.empty((b, 12), np.float32)
+        t0 = time.perf_counter()
+        for i in range(hops):
+            cols[:] = live[:, i]
+            fms.feed(cols)
+        fms.flush()
+        wall = time.perf_counter() - t0
+        p0 = fms.paths()[0]
+        ok = [tuple(x) for x in np.asarray(p0)] == [tuple(x) for x in np.asarray(solo_path)]
+        rt = hops * HOP_S / wall
+        print(f"otw B={b} N={n_ref} hops={hops}: wall {wall:.2f} s -> "
+              f"{rt:.1f}x RT/stream, {wall / hops / b * 1e6:.1f} us/frame/stream, "
+              f"aggregate RTF {rt * b:.0f}x, paths==solo {ok}", flush=True)
+        if not ok:
+            return 1
+    return 0
+
+
+def measure_wtw(b_list, ref_min, live_s, shared=True):
+    from real_time_audio_sync_tpu.models.wtw_async import AsyncWTW
+    from real_time_audio_sync_tpu.parallel.wtw_serving import MultiStreamWTW
+
+    rng = np.random.default_rng(1)
+    ref = (rng.standard_normal(int(22050 * 60 * ref_min)).astype(np.float32) * 0.1)
+    live = ref[: int(22050 * live_s)].copy()
+    live += rng.standard_normal(live.shape[0]).astype(np.float32) * 0.02
+    chunks = max(1, int(live_s / (8 * HOP_S)))
+
+    solo = AsyncWTW(ref, WTW_PARAMS, transfer_dtype="chroma")
+    for s in np.array_split(live, chunks):
+        solo.insert(s)
+    solo.flush()
+
+    for b in b_list:
+        refs = [ref] * b if shared else [ref.copy() for _ in range(b)]
+        ms = MultiStreamWTW(refs, WTW_PARAMS, transfer_dtype="chroma")
+        t0 = time.perf_counter()
+        for s in np.array_split(live, chunks):
+            ms.insert([s] * b)
+        ms.flush()
+        wall = time.perf_counter() - t0
+        ok = ms.paths()[0] == solo.path
+        rt = live_s / wall
+        print(f"wtw B={b} ref={ref_min:.0f}min live={live_s:.0f}s "
+              f"shared={shared}: wall {wall:.2f} s -> {rt:.1f}x RT/stream, "
+              f"aggregate RTF {rt * b:.0f}x, paths==solo {ok}", flush=True)
+        if not ok:
+            return 1
+    return 0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("mode", choices=["otw", "otw-long", "wtw", "wtw-long"])
+    ap.add_argument("--b", type=int, nargs="+", default=[256])
+    ap.add_argument("--hops", type=int, default=400)
+    ap.add_argument("--n-ref", type=int, default=1900)
+    ap.add_argument("--ref-min", type=float, default=60.0)
+    ap.add_argument("--live-s", type=float, default=120.0)
+    ap.add_argument("--interpret", action="store_true",
+                    help="CPU smoke (Pallas interpret mode) - not a measurement")
+    args = ap.parse_args()
+
+    if args.mode == "otw":
+        return measure_otw(args.b, args.n_ref, args.hops,
+                           interpret=args.interpret)
+    if args.mode == "otw-long":
+        n_ref = int(args.ref_min * 60 / HOP_S)
+        return measure_otw(args.b, n_ref, args.hops, long_ref=True,
+                           interpret=args.interpret)
+    if args.mode == "wtw":
+        return measure_wtw(args.b, ref_min=1.5, live_s=args.live_s)
+    return measure_wtw(args.b, ref_min=args.ref_min, live_s=args.live_s)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
