@@ -151,8 +151,12 @@ class WTW:
         self.debug_params = debug_params or {}
         self.dtype = np.dtype(dtype or np.float32)
 
-        self.ref, self.fs = load_wav(ref_recording)
-        assert self.fs == 22050
+        if isinstance(ref_recording, (str, bytes)):
+            self.ref, self.fs = load_wav(ref_recording)
+            assert self.fs == 22050
+        else:  # raw 22.05 kHz sample array (same surface as AsyncWTW)
+            self.ref = np.asarray(ref_recording)
+            self.fs = 22050
 
         self.fft_len = self.params.fft_len
         self.hop_size = self.params.hop_size

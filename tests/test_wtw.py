@@ -303,21 +303,11 @@ def test_short_reference_rejected_up_front():
 
     short = np.zeros(2048 * 10, np.float32)  # ~10 frames < w=20
     short[::3] = 0.5
-    for ctor in (lambda: WTW(_as_wav(short), WTW_PARAMS),
+    for ctor in (lambda: WTW(short, WTW_PARAMS),
                  lambda: AsyncWTW(short, WTW_PARAMS),
                  lambda: MultiStreamWTW([short], WTW_PARAMS)):
         with pytest.raises(ValueError, match="reference too short for WTW"):
             ctor()
-
-
-def _as_wav(samples):
-    import tempfile
-
-    from real_time_audio_sync_tpu.utils.wavio import write_wav
-
-    f = tempfile.NamedTemporaryFile(suffix=".wav", delete=False)
-    write_wav(f.name, samples, 22050)
-    return f.name
 
 
 def test_chroma_from_samples_rejects_non_mono():
