@@ -24,10 +24,13 @@ not across days.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 HOP_S = 2048 / 22050.0
 OTW_PARAMS = {"c": 50, "max_run_count": 3}
@@ -121,7 +124,17 @@ def main():
     ap.add_argument("--live-s", type=float, default=120.0)
     ap.add_argument("--interpret", action="store_true",
                     help="CPU smoke (Pallas interpret mode) - not a measurement")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smokes during relay outages;"
+                         " implied by --interpret)")
     args = ap.parse_args()
+
+    if args.interpret or args.cpu:
+        # must run before first jax use: the container's sitecustomize
+        # registers the TPU relay backend and JAX_PLATFORMS is ignored
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     if args.mode == "otw":
         return measure_otw(args.b, args.n_ref, args.hops,

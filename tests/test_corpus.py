@@ -190,3 +190,26 @@ def test_serving_demo_example_runs(chopin_pair):
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "aggregate RTF" in proc.stdout
     assert proc.stdout.count("stream ") >= 2
+
+
+def test_measure_capacity_harness_runs():
+    """The serving-capacity harness (docs/SERVING.md's numbers) runs both
+    layers end-to-end at toy scale and self-checks path parity vs the solo
+    engines (exit 1 on divergence — that's the assertion)."""
+    import os
+    import subprocess
+    import sys
+
+    env = {**os.environ, "RTAS_NO_COMPILE_CACHE": "1"}
+    proc = subprocess.run(
+        [sys.executable, "examples/measure_capacity.py", "otw", "--b", "2",
+         "--hops", "40", "--n-ref", "200", "--interpret"],
+        capture_output=True, text=True, timeout=600, env=env)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "paths==solo True" in proc.stdout
+    proc = subprocess.run(
+        [sys.executable, "examples/measure_capacity.py", "wtw", "--b", "2",
+         "--live-s", "15", "--cpu"],
+        capture_output=True, text=True, timeout=600, env=env)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "paths==solo True" in proc.stdout
