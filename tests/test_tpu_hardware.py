@@ -186,6 +186,17 @@ def test_pallas_kernels_on_real_tpu(tmp_path):
     repo = str(pathlib.Path(__file__).resolve().parent.parent)
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)  # let the subprocess use the default backend
+    # cheap reachability pre-probe: during relay outages backend init hangs
+    # indefinitely, and without this the parity subprocess burns its whole
+    # 840 s budget before the TimeoutExpired skip fires (observed during the
+    # 2026-08-17/18 outages).  A healthy backend answers in a few seconds.
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=120, env=env,
+        )
+    except subprocess.TimeoutExpired:
+        pytest.skip("TPU backend unreachable within 120 s (relay outage)")
     try:
         proc = subprocess.run(
             [sys.executable, "-c", _SCRIPT.format(repo=repo)],
