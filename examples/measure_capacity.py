@@ -61,8 +61,8 @@ def measure_otw(b_list, n_ref, hops, long_ref=None, interpret=False):
     for b in b_list:
         fms = FusedMultiStreamFollower(ref, OTW_PARAMS, n_streams=b,
                                        long_ref=long_ref, interpret=interpret)
-        # parity spot-check on a short prefix is pointless mid-stream state;
-        # run the full feed and compare stream 0 afterwards.
+        # the natural serving loop reuses one cols buffer per hop — feed()
+        # copies on ingest (tested), so this is safe under saturation
         cols = np.empty((b, 12), np.float32)
         t0 = time.perf_counter()
         for i in range(hops):

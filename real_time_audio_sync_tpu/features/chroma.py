@@ -150,9 +150,9 @@ def host_chroma_frames(frames: np.ndarray, n_fft: int = FFT_LEN, fs: int = FS,
             # Cache-blocked: window→rfft→square→project a chunk of frames
             # at a time so every stage's working set stays in L2 instead of
             # streaming the full (T, n_fft) batch through DRAM four times —
-            # measured 1.2x at serving batch sizes (T=2048), bit-identical
-            # output (each frame's arithmetic is unchanged, only the loop
-            # order over frames moves).
+            # measured 1.2-1.5x at serving batch sizes (T=2048).  Numerics
+            # contract (pinned by test_host_chroma_chunking_invariant): see
+            # the docstring.
             T = frames.shape[0]
             chunk = max(1, min(T or 1, (1 << 20) // (4 * n_fft)))  # ~1 MB
             fbi = _host_fb_interleaved(n_fft, fs)
