@@ -56,7 +56,10 @@ HOP_FRAMES = 8  # frames per pipelined dispatch in BLOCK mode (diagnostic)
 # max coalesced launch size for the adaptive per-frame feed.  The cap only
 # binds while the dispatch pipeline is saturated (frames never wait for
 # input), so a larger cap is pure congestion tolerance: interleaved A/B on
-# a loaded relay measured K=32 at 1.24x K=16 with identical paths
+# a loaded relay measured K=32 at 1.24x K=16 with identical paths.  The
+# relay-health preamble raises the cap further on congested days (the
+# multi-tenant relay's dispatch floor varies >10x; a higher floor needs
+# more frames per launch to amortize — paths stay identical, asserted)
 FEED_K = 32
 
 
@@ -101,6 +104,12 @@ def main() -> int:
         xfer_ms = (time.perf_counter() - t0) / 20 * 1e3
         log(f"relay health: sync round-trip {rtt_ms:.1f} ms, 128 KB pipelined "
             f"transfer {xfer_ms:.2f} ms/dispatch (healthy ≈ 25-30 ms / 0.3-5 ms)")
+        global FEED_K
+        if xfer_ms > 8.0:
+            FEED_K = 64 if xfer_ms <= 20.0 else 128
+            log(f"congested relay (dispatch floor {xfer_ms:.1f} ms): raising the "
+                f"adaptive-feed coalesce cap to k{FEED_K} to amortize it "
+                f"(binds only under pipeline saturation; paths identical)")
     except Exception as e:
         log(f"relay health probe skipped ({e})")
 

@@ -43,6 +43,27 @@ def _unit_chroma(rng, t):
     return c / np.linalg.norm(c, axis=0, keepdims=True)
 
 
+def report_relay_health():
+    """Print the relay's current dispatch floor so every recorded capacity
+    number is attributable to the relay state it was measured under (the
+    multi-tenant relay's per-dispatch wall varies >10x minute-to-minute —
+    docs/STATUS.md platform findings).  Fresh content per dispatch defeats
+    the relay's (program, input) dedupe."""
+    import jax
+    import jax.numpy as jnp
+
+    probe = jax.jit(lambda x: x.sum())
+    x = np.zeros((8, 4096), np.float32)  # 128 KB
+    float(probe(jnp.asarray(x)))  # compile
+    t0 = time.perf_counter()
+    outs = [probe(jnp.asarray(x + i)) for i in range(20)]
+    jax.block_until_ready(outs)
+    xfer_ms = (time.perf_counter() - t0) / 20 * 1e3
+    print(f"relay health: 128 KB pipelined transfer {xfer_ms:.2f} ms/dispatch "
+          f"(healthy ≈ 0.3-5 ms)", flush=True)
+    return xfer_ms
+
+
 def measure_otw(b_list, n_ref, hops, long_ref=None, interpret=False):
     from real_time_audio_sync_tpu.models.fused_streaming import FusedStreamingEngine
     from real_time_audio_sync_tpu.parallel.serving import FusedMultiStreamFollower
@@ -135,6 +156,9 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+    if not (args.interpret or args.cpu):
+        report_relay_health()
 
     if args.mode == "otw":
         return measure_otw(args.b, args.n_ref, args.hops,
