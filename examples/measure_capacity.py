@@ -80,6 +80,20 @@ def measure_otw(b_list, n_ref, hops, long_ref=None, interpret=False):
     solo_path = solo.path
 
     for b in b_list:
+        # compile OUTSIDE the timed window: a throwaway follower's first
+        # dispatch triggers the (possibly minutes-long, relay-side) kernel
+        # compile for this B; the persistent compile cache then makes the
+        # timed follower's first dispatch an execute, not a compile.  On a
+        # fresh container the old harness charged the compile to the first
+        # measured point (B=512 read 1.8x where a warm run reads ~10x).
+        warm = FusedMultiStreamFollower(ref, OTW_PARAMS, n_streams=b,
+                                        long_ref=long_ref, interpret=interpret)
+        warm.feed(np.repeat(live[:, :1].T, b, axis=0))
+        warm.flush()
+        del warm
+        if not interpret:
+            report_relay_health()
+
         fms = FusedMultiStreamFollower(ref, OTW_PARAMS, n_streams=b,
                                        long_ref=long_ref, interpret=interpret)
         # the natural serving loop reuses one cols buffer per hop — feed()
@@ -117,8 +131,16 @@ def measure_wtw(b_list, ref_min, live_s, shared=True):
         solo.insert(s)
     solo.flush()
 
+    first_chunk = np.array_split(live, chunks)[0]
     for b in b_list:
         refs = [ref] * b if shared else [ref.copy() for _ in range(b)]
+        # compile outside the timed window (see measure_otw)
+        warm = MultiStreamWTW(refs, WTW_PARAMS, transfer_dtype="chroma")
+        warm.insert([first_chunk] * b)
+        warm.flush()
+        del warm
+        report_relay_health()
+
         ms = MultiStreamWTW(refs, WTW_PARAMS, transfer_dtype="chroma")
         t0 = time.perf_counter()
         for s in np.array_split(live, chunks):
