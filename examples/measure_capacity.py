@@ -24,6 +24,7 @@ not across days.
 from __future__ import annotations
 
 import argparse
+import gc
 import os
 import sys
 import time
@@ -64,7 +65,8 @@ def report_relay_health():
     return xfer_ms
 
 
-def measure_otw(b_list, n_ref, hops, long_ref=None, interpret=False):
+def measure_otw(b_list, n_ref, hops, long_ref=None, interpret=False,
+                skip_health=False):
     from real_time_audio_sync_tpu.models.fused_streaming import FusedStreamingEngine
     from real_time_audio_sync_tpu.parallel.serving import FusedMultiStreamFollower
 
@@ -91,7 +93,11 @@ def measure_otw(b_list, n_ref, hops, long_ref=None, interpret=False):
         warm.feed(np.repeat(live[:, :1].T, b, axis=0))
         warm.flush()
         del warm
-        if not interpret:
+        # the step closure's self-reference makes the warm follower's
+        # GB-scale donated state cycle-collected, not refcount-freed —
+        # reclaim it NOW so it can't double HBM pressure in the timed run
+        gc.collect()
+        if not skip_health:
             report_relay_health()
 
         fms = FusedMultiStreamFollower(ref, OTW_PARAMS, n_streams=b,
@@ -116,7 +122,8 @@ def measure_otw(b_list, n_ref, hops, long_ref=None, interpret=False):
     return 0
 
 
-def measure_wtw(b_list, ref_min, live_s, shared=True):
+def measure_wtw(b_list, ref_min, live_s, shared=True, skip_health=False):
+    from real_time_audio_sync_tpu.features.chroma import chroma_from_samples
     from real_time_audio_sync_tpu.models.wtw_async import AsyncWTW
     from real_time_audio_sync_tpu.parallel.wtw_serving import MultiStreamWTW
 
@@ -131,17 +138,27 @@ def measure_wtw(b_list, ref_min, live_s, shared=True):
         solo.insert(s)
     solo.flush()
 
+    # extract the reference chromagram ONCE per mode — at ref_min=60 the
+    # host FFT is minutes of setup, and warm + timed constructors would
+    # otherwise each redo it (the dedupe memo is per-constructor)
+    ref_chroma = chroma_from_samples(ref)
+
     first_chunk = np.array_split(live, chunks)[0]
     for b in b_list:
         refs = [ref] * b if shared else [ref.copy() for _ in range(b)]
+        chromas = [ref_chroma] if shared else [ref_chroma.copy() for _ in range(b)]
         # compile outside the timed window (see measure_otw)
-        warm = MultiStreamWTW(refs, WTW_PARAMS, transfer_dtype="chroma")
+        warm = MultiStreamWTW(refs, WTW_PARAMS, transfer_dtype="chroma",
+                              ref_chromas=chromas)
         warm.insert([first_chunk] * b)
         warm.flush()
         del warm
-        report_relay_health()
+        gc.collect()  # see measure_otw: break-even the donated-state cycle
+        if not skip_health:
+            report_relay_health()
 
-        ms = MultiStreamWTW(refs, WTW_PARAMS, transfer_dtype="chroma")
+        ms = MultiStreamWTW(refs, WTW_PARAMS, transfer_dtype="chroma",
+                            ref_chromas=chromas)
         t0 = time.perf_counter()
         for s in np.array_split(live, chunks):
             ms.insert([s] * b)
@@ -179,19 +196,22 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
 
-    if not (args.interpret or args.cpu):
+    skip_health = args.interpret or args.cpu
+    if not skip_health:
         report_relay_health()
 
     if args.mode == "otw":
         return measure_otw(args.b, args.n_ref, args.hops,
-                           interpret=args.interpret)
+                           interpret=args.interpret, skip_health=skip_health)
     if args.mode == "otw-long":
         n_ref = int(args.ref_min * 60 / HOP_S)
         return measure_otw(args.b, n_ref, args.hops, long_ref=True,
-                           interpret=args.interpret)
+                           interpret=args.interpret, skip_health=skip_health)
     if args.mode == "wtw":
-        return measure_wtw(args.b, ref_min=1.5, live_s=args.live_s)
-    return measure_wtw(args.b, ref_min=args.ref_min, live_s=args.live_s)
+        return measure_wtw(args.b, ref_min=1.5, live_s=args.live_s,
+                           skip_health=skip_health)
+    return measure_wtw(args.b, ref_min=args.ref_min, live_s=args.live_s,
+                       skip_health=skip_health)
 
 
 if __name__ == "__main__":

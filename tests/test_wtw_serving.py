@@ -352,3 +352,38 @@ def test_shared_ref_mode_matches_stacked(chopin_pair):
     assert shared.pointers() == stacked.pointers()
     assert (shared.stopped == stacked.stopped).all()
     assert len(shared.paths()[0]) > 10
+
+
+def test_precomputed_ref_chromas_match_extraction(chopin_pair):
+    """``ref_chromas=`` (the serving-restart / harness path) skips the host
+    FFT at construction; committed paths must equal the extract-at-init
+    constructor bit-for-bit, in both shared and per-stream forms."""
+    from real_time_audio_sync_tpu.features.chroma import chroma_from_samples
+
+    ref_wav, live_wav = chopin_pair
+    rub, _ = load_wav(ref_wav)
+    rach, _ = load_wav(live_wav)
+    live = rach[: len(rach) // 2]
+    chroma = chroma_from_samples(rub, dtype=np.float64)
+
+    baseline = MultiStreamWTW([rub, rub], WTW_PARAMS, k_block=8,
+                              dtype=np.float64)
+    pre_shared = MultiStreamWTW([rub, rub], WTW_PARAMS, k_block=8,
+                                dtype=np.float64, ref_chromas=[chroma])
+    assert pre_shared._shared_ref
+    pre_stacked = MultiStreamWTW([rub, rub], WTW_PARAMS, k_block=8,
+                                 dtype=np.float64,
+                                 ref_chromas=[chroma, chroma.copy()])
+    assert not pre_stacked._shared_ref
+    for ms in (baseline, pre_shared, pre_stacked):
+        for b in np.array_split(live, 17):
+            ms.insert([b, b[: len(b) // 2]])
+        ms.flush()
+    assert pre_shared.paths() == baseline.paths()
+    assert pre_stacked.paths() == baseline.paths()
+    assert pre_shared.pointers() == baseline.pointers()
+    assert len(baseline.paths()[0]) > 10
+
+    with pytest.raises(ValueError, match="entries for"):
+        MultiStreamWTW([rub, rub, rub], WTW_PARAMS,
+                       ref_chromas=[chroma, chroma])
