@@ -101,8 +101,14 @@ def _window_cost(x, y):
     """Explicit cosine cost with norm division (wtw.py:162-171): the columns
     are L2-normalized already, but the reference divides by the norms anyway
     — preserved (silent/zero columns would produce the same non-finite
-    values)."""
-    dots = x.T @ y
+    values).
+
+    ``Precision.HIGHEST`` forces the exact-f32 MXU path on TPU: the default
+    single-pass matmul truncates inputs to bf16 (~1e-3 cost error), which
+    measurably diverges the window DP from the f64 reference recurrence
+    (observed on hardware: 527 vs the oracle-faithful 509 committed points
+    on the Chopin pair).  Identical on CPU, where f32 matmuls are exact."""
+    dots = jnp.matmul(x.T, y, precision=jax.lax.Precision.HIGHEST)
     nx = jnp.sqrt(jnp.sum(x * x, axis=0))
     ny = jnp.sqrt(jnp.sum(y * y, axis=0))
     return 1.0 - dots / (nx[:, None] * ny[None, :])

@@ -8,4 +8,7 @@ from real_time_audio_sync_tpu.parallel.serving import (  # noqa: F401
     FusedMultiStreamFollower,
     MultiStreamFollower,
 )
-from real_time_audio_sync_tpu.parallel.wtw_serving import MultiStreamWTW  # noqa: F401
+from real_time_audio_sync_tpu.parallel.wtw_serving import (  # noqa: F401
+    FusedMultiStreamWTW,
+    MultiStreamWTW,
+)
