@@ -187,7 +187,19 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smokes during relay outages;"
                          " implied by --interpret)")
+    ap.add_argument("--workers", type=int, default=None,
+                    help="host chroma-extraction threads for the wtw modes' "
+                         "transfer_dtype='chroma' payload (the serving "
+                         "floor; bit-identical output for any count) — "
+                         "record capacity scaling vs this on multi-core "
+                         "hosts")
     args = ap.parse_args()
+
+    if args.workers is not None:
+        # the env flag reaches every host_chroma_frames call in the stack
+        os.environ["RTAS_HOST_FFT_WORKERS"] = str(args.workers)
+        print(f"host FFT workers: {args.workers} "
+              f"(os.cpu_count()={os.cpu_count()})", flush=True)
 
     if args.interpret or args.cpu:
         # must run before first jax use: the container's sitecustomize

@@ -100,9 +100,42 @@ def _host_fb_interleaved(n_fft: int, fs: int) -> np.ndarray:
     return _HOST_FB2_CACHE[key]
 
 
+#: worker threads for the f32 host-extraction pipeline: None = the
+#: RTAS_HOST_FFT_WORKERS env var, else single-threaded.  The per-dispatch
+#: host chroma is the serving-capacity floor (round-3 finding: 85% of the
+#: B=256 chroma-transfer wall is single-core host FFT), so multi-core hosts
+#: should set this to their core count.
+_WORKERS_ENV = "RTAS_HOST_FFT_WORKERS"
+_POOL = None
+_POOL_SIZE = 0
+
+
+def _host_pool(workers: int):
+    """Shared ThreadPoolExecutor, rebuilt only when the size changes."""
+    global _POOL, _POOL_SIZE
+    if _POOL is None or _POOL_SIZE != workers:
+        import concurrent.futures
+
+        if _POOL is not None:
+            _POOL.shutdown(wait=False)
+        _POOL = concurrent.futures.ThreadPoolExecutor(
+            max_workers=workers, thread_name_prefix="rtas-hostfft")
+        _POOL_SIZE = workers
+    return _POOL
+
+
+def resolve_host_workers(workers=None) -> int:
+    """Effective worker count: explicit arg > env flag > 1."""
+    if workers is not None:
+        return max(1, int(workers))
+    env = os.environ.get(_WORKERS_ENV)
+    return max(1, int(env)) if env else 1
+
+
 def host_chroma_frames(frames: np.ndarray, n_fft: int = FFT_LEN, fs: int = FS,
                        normalize: bool = True,
-                       overwrite_frames: bool = False) -> np.ndarray:
+                       overwrite_frames: bool = False,
+                       workers=None) -> np.ndarray:
     """(T, n_fft) raw frames → (12, T) chroma, entirely on the host.
 
     Same pipeline as :func:`_chroma_frames_impl` (window → rDFT → power →
@@ -138,7 +171,18 @@ def host_chroma_frames(frames: np.ndarray, n_fft: int = FFT_LEN, fs: int = FS,
     :func:`~real_time_audio_sync_tpu.models.wtw_async.host_chroma_block`
     builds, where an in-place multiply would corrupt later rows).  The
     cache-blocked f32 path windows into its own scratch buffer, so there
-    the flag is accepted but never destroys ``frames``."""
+    the flag is accepted but never destroys ``frames``.
+
+    ``workers`` (f32 path only): thread-pool the cache-blocked chunks —
+    numpy/scipy release the GIL for the window multiply, the pocketfft
+    transform and the sgemv projection, so on an N-core host extraction
+    scales with N until memory bandwidth binds.  The chunk partitioning is
+    IDENTICAL to the single-threaded sweep (threads pick up the same
+    [i, j) chunks), so results are bit-identical for any worker count
+    (tests/test_chroma.py).  Default: the RTAS_HOST_FFT_WORKERS env var,
+    else single-threaded — this container has one core; serving hosts
+    should set it to their core count (round-3 capacity finding: 85% of
+    the B=256 chroma-transfer wall was single-core host FFT)."""
     dtype = np.dtype(frames.dtype)
     win, fb_t = host_frontend_constants(n_fft, fs, dtype)
     if dtype == np.float32:
@@ -149,24 +193,59 @@ def host_chroma_frames(frames: np.ndarray, n_fft: int = FFT_LEN, fs: int = FS,
         if _sfft is not None:
             # Cache-blocked: window→rfft→square→project a chunk of frames
             # at a time so every stage's working set stays in L2 instead of
-            # streaming the full (T, n_fft) batch through DRAM four times —
-            # measured 1.2-1.5x at serving batch sizes (T=2048).  Numerics
-            # contract (pinned by test_host_chroma_chunking_invariant): see
-            # the docstring.
+            # streaming the full (T, n_fft) batch through DRAM once per
+            # stage — measured 1.2-1.5x at serving batch sizes (T=2048).
+            # Numerics contract (pinned by
+            # test_host_chroma_chunking_invariant): see the docstring.
             T = frames.shape[0]
             chunk = max(1, min(T or 1, (1 << 20) // (4 * n_fft)))  # ~1 MB
             fbi = _host_fb_interleaved(n_fft, fs)
             raw = np.empty((T, 12), np.float32)
-            buf = np.empty((chunk, n_fft), np.float32)
-            for i in range(0, T, chunk):
-                j = min(i + chunk, T)
-                b = buf[: j - i]
-                np.multiply(frames[i:j], win, out=b)
-                spec = _sfft.rfft(b, axis=1, overwrite_x=True,
-                                  workers=os.cpu_count() or 1)
-                v = spec.view(np.float32)  # (chunk, 2K) interleaved re,im
-                np.multiply(v, v, out=v)  # spec is dead past this point
-                np.matmul(v, fbi, out=raw[i:j])
+            n_workers = min(resolve_host_workers(workers),
+                            max(1, -(-T // chunk)))
+
+            def _sweep(lo: int, hi: int, buf: np.ndarray) -> None:
+                for i in range(lo, hi, chunk):
+                    j = min(i + chunk, T)
+                    b = buf[: j - i]
+                    np.multiply(frames[i:j], win, out=b)
+                    spec = _sfft.rfft(b, axis=1, overwrite_x=True,
+                                      workers=1)
+                    v = spec.view(np.float32)  # (chunk, 2K) re,im pairs
+                    np.multiply(v, v, out=v)  # spec is dead past this point
+                    np.matmul(v, fbi, out=raw[i:j])
+
+            if n_workers <= 1:
+                # in-FFT threading only (pocketfft splits the batch rows)
+                def _sweep1(lo: int, hi: int, buf: np.ndarray) -> None:
+                    for i in range(lo, hi, chunk):
+                        j = min(i + chunk, T)
+                        b = buf[: j - i]
+                        np.multiply(frames[i:j], win, out=b)
+                        spec = _sfft.rfft(b, axis=1, overwrite_x=True,
+                                          workers=os.cpu_count() or 1)
+                        v = spec.view(np.float32)
+                        np.multiply(v, v, out=v)
+                        np.matmul(v, fbi, out=raw[i:j])
+
+                _sweep1(0, T, np.empty((chunk, n_fft), np.float32))
+            else:
+                # whole-chunk parallelism: every stage of a chunk runs on
+                # one worker (window, fft, square, project all drop the
+                # GIL); chunk boundaries are unchanged, so the output is
+                # bit-identical to the single-threaded sweep
+                n_chunks = -(-T // chunk)
+                per = -(-n_chunks // n_workers)
+                pool = _host_pool(n_workers)
+                futs = [
+                    pool.submit(_sweep, w * per * chunk,
+                                min((w + 1) * per * chunk, T),
+                                np.empty((chunk, n_fft), np.float32))
+                    for w in range(n_workers)
+                    if w * per * chunk < T
+                ]
+                for f in futs:
+                    f.result()
         else:  # pragma: no cover - scipy is baked in
             wf = frames * win[None, :]
             spec = np.fft.rfft(wf, axis=1)

@@ -198,3 +198,30 @@ def test_host_chroma_chunking_invariant():
         else:
             np.testing.assert_allclose(got, old_monolithic(big[:t]), atol=2e-6)
         np.testing.assert_array_equal(sub, big[:t])  # caller buffer intact
+
+
+def test_host_chroma_workers_bit_identical():
+    """Thread-pooled extraction must be bit-identical to single-threaded
+    for ANY worker count: the pool distributes the SAME cache-block chunks
+    the serial sweep uses, so per-row arithmetic is unchanged (the
+    multi-core serving path, round-3 verdict item 5).  Also gated by the
+    RTAS_HOST_FFT_WORKERS env flag."""
+    import os
+
+    from real_time_audio_sync_tpu.features.chroma import host_chroma_frames
+
+    rng = np.random.default_rng(11)
+    frames = rng.standard_normal((200, 4096)).astype(np.float32)
+    base = host_chroma_frames(frames)
+    for w in (2, 3, 8):
+        np.testing.assert_array_equal(
+            base, host_chroma_frames(frames, workers=w))
+    for t in (0, 1, 5):  # fewer chunks than workers
+        np.testing.assert_array_equal(
+            host_chroma_frames(frames[:t]),
+            host_chroma_frames(frames[:t], workers=4))
+    os.environ["RTAS_HOST_FFT_WORKERS"] = "3"
+    try:
+        np.testing.assert_array_equal(base, host_chroma_frames(frames))
+    finally:
+        del os.environ["RTAS_HOST_FFT_WORKERS"]
