@@ -174,3 +174,71 @@ def test_dtw_backend_validation():
     if jax.devices()[0].platform == "cpu":
         with pytest.raises(ValueError, match="unsupported on this platform"):
             DTW(a, b, backend="pallas")
+
+
+# ---------------------------------------------------------------------------
+# banded offline DTW (ops/banded_dtw.py) — hour-scale O(M·band) memory
+# ---------------------------------------------------------------------------
+
+
+def test_banded_dtw_full_band_matches_dense():
+    """With the band covering the whole reference the banded DP computes the
+    full matrix: paths must equal the dense wavefront's exactly (codes are
+    recomputed with the reference first-min order)."""
+    from real_time_audio_sync_tpu.ops.banded_dtw import dtw_banded
+
+    for seed in range(4):
+        rng = np.random.default_rng(seed)
+        m, n = 110 + seed, 140 - seed
+        a = rng.random((12, m)).astype(np.float32)
+        a /= np.linalg.norm(a, axis=0)
+        b = rng.random((12, n)).astype(np.float32)
+        b /= np.linalg.norm(b, axis=0)
+        _, acc, dense_path = DTW(a, b)
+        path, cost = dtw_banded(a, b, band=n)
+        np.testing.assert_array_equal(dense_path, path)
+        assert abs(float(acc[-1, -1]) - cost) < 1e-3
+
+
+def test_banded_dtw_real_pair(chopin_pair):
+    """A 256-frame band comfortably contains the real pair's optimal path."""
+    from real_time_audio_sync_tpu.features.chroma import wav_to_chroma
+    from real_time_audio_sync_tpu.ops.banded_dtw import dtw_banded
+
+    ref_wav, live_wav = chopin_pair
+    ref = np.asarray(wav_to_chroma(ref_wav)).astype(np.float32)
+    live = np.asarray(wav_to_chroma(live_wav)).astype(np.float32)
+    _, _, dense_path = DTW(live, ref)
+    path, _ = dtw_banded(live, ref, band=256)
+    np.testing.assert_array_equal(dense_path, path)
+
+
+def test_banded_dtw_edges():
+    from real_time_audio_sync_tpu.ops.banded_dtw import dtw_banded
+
+    a = np.ones((12, 1), np.float32) / np.sqrt(12)
+    b = np.ones((12, 5), np.float32) / np.sqrt(12)
+    _, _, dense_path = DTW(a, b)
+    path, _ = dtw_banded(a, b, band=5)
+    np.testing.assert_array_equal(dense_path, path)
+    # band wider than the reference clamps
+    path2, _ = dtw_banded(a, b, band=99)
+    np.testing.assert_array_equal(dense_path, path2)
+
+
+def test_banded_dtw_path_shape_properties():
+    """Monotone corner-to-corner path even when the band binds (the banded
+    result is then an approximation, but must stay a valid warping path)."""
+    from real_time_audio_sync_tpu.ops.banded_dtw import dtw_banded
+
+    rng = np.random.default_rng(9)
+    a = rng.random((12, 300)).astype(np.float32)
+    a /= np.linalg.norm(a, axis=0)
+    b = rng.random((12, 300)).astype(np.float32)
+    b /= np.linalg.norm(b, axis=0)
+    path, cost = dtw_banded(a, b, band=32)
+    assert tuple(path[0]) == (0, 0)
+    assert tuple(path[-1]) == (299, 299)
+    d = np.diff(path, axis=0)
+    assert (d >= 0).all() and (d.sum(axis=1) > 0).all()
+    assert np.isfinite(cost)
