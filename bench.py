@@ -74,6 +74,44 @@ def _t_scalar(f, *a):
     return time.perf_counter() - t0
 
 
+def _median(xs):
+    return float(np.median(np.asarray(xs, float)))
+
+
+def _t_scalar_wall(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+def _median_wall(fn, reps: int = 3):
+    """Median wall over ``reps`` repetitions (round-4 bench protocol: a
+    single min() hid relay congestion spikes inside the committed artifact;
+    the median plus the relay-health columns makes a degraded run visible
+    AND attributable).  Returns (median_wall, last_result)."""
+    walls, result = [], None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        result = fn()
+        walls.append(time.perf_counter() - t0)
+    return _median(walls), result
+
+
+def _pipelined_device_time(probe, inputs, reps: int = 20):
+    """Per-dispatch on-device wall: issue ``reps`` dispatches back-to-back
+    (device-resident inputs, fresh content each) and block once at the end —
+    relay round-trips overlap, so the per-dispatch quotient approaches the
+    true device+issue cost instead of including a ~27 ms blocking read per
+    call (the round-3 artifact's conflation, VERDICT weak items 4/6)."""
+    import jax
+
+    outs = None
+    t0 = time.perf_counter()
+    outs = [probe(*args) for args in inputs[:reps]]
+    jax.block_until_ready(outs)
+    return (time.perf_counter() - t0) / min(reps, len(inputs))
+
+
 def main() -> int:
     import real_time_audio_sync_tpu as rtas
     from real_time_audio_sync_tpu.models import OnlineTimeWarping
@@ -104,6 +142,8 @@ def main() -> int:
         xfer_ms = (time.perf_counter() - t0) / 20 * 1e3
         log(f"relay health: sync round-trip {rtt_ms:.1f} ms, 128 KB pipelined "
             f"transfer {xfer_ms:.2f} ms/dispatch (healthy ≈ 25-30 ms / 0.3-5 ms)")
+        global _relay_rtt_ms, _relay_xfer_ms
+        _relay_rtt_ms, _relay_xfer_ms = round(rtt_ms, 1), round(xfer_ms, 2)
         global FEED_K
         if xfer_ms > 8.0:
             FEED_K = 64 if xfer_ms <= 20.0 else 128
@@ -152,7 +192,11 @@ def main() -> int:
         return time.perf_counter() - t0, eng
 
     run_feed_stream()  # compile
-    feed_wall, feed_eng = min((run_feed_stream() for _ in range(3)), key=lambda x: x[0])
+    # round-4 protocol: MEDIAN over 3 repetitions (min() hid congestion
+    # inside the committed artifact; see _median_wall)
+    feed_runs = [run_feed_stream() for _ in range(3)]
+    feed_wall = _median([w for w, _ in feed_runs])
+    feed_eng = feed_runs[-1][1]
     rtf = audio_sec / feed_wall
     # the XLA fallback has no coalescing: every frame is its own launch
     sizes = getattr(feed_eng, "dispatched_block_sizes", None) or [1] * n_frames
@@ -215,6 +259,13 @@ def main() -> int:
         "value": round(rtf, 1),
         "unit": "audio_sec/wall_sec",
         "vs_baseline": round(vs_baseline, 1),
+        # round-4 relay-robust protocol (VERDICT r3 weak item 1): the
+        # headline is a MEDIAN over 3 repetitions, and the relay-health
+        # sample it rode on is committed next to it so a degraded run is
+        # attributable rather than indistinguishable from a regression
+        "wall_median_ms": round(feed_wall * 1e3, 1),
+        "relay_rtt_ms": _relay_rtt_ms,
+        "relay_xfer_ms": _relay_xfer_ms,
         # flipped to True only when every diagnostic section ran; a crash,
         # signal or watchdog truncation emits the headline with False so
         # downstream consumers can tell a full run from a truncated one
@@ -340,6 +391,7 @@ def main() -> int:
     else:
         log(f"on-device per-insert cost: {on_device_us:.0f} us "
             f"(K=1 block {t1*1e3:.1f} ms, K=128 block {t128*1e3:.1f} ms; p50 target <1 ms)")
+        _result["on_device_us"] = round(on_device_us, 1)
 
     # --- 5. idle-device per-insert latency (includes the relay round-trip)
     eng = OnlineTimeWarping(ref, PARAMS)
@@ -376,26 +428,55 @@ def main() -> int:
                 f"{achieved/PEAK_BF16*100:.5f}% MFU (latency-bound: ~{PEAK_BF16*on_device_us*1e-6/flops_insert:.0f}x "
                 f"idle-MXU headroom for batching)")
 
-        # chroma frontend: framing + Hann + DFT-as-matmul + chromafb matmul
-        # + L2 norm over T frames — the MXU-shaped stage
-        from real_time_audio_sync_tpu.features.chroma import chroma_pipeline
+        # chroma frontend roofline: framing + Hann + DFT-as-matmul +
+        # chromafb matmul + L2 norm — the MXU-shaped stage, measured
+        # ON-DEVICE with the round-4 protocol: device-resident input, fresh
+        # content generated in-program, 20 pipelined dispatches, one block
+        # at the end.  The round-3 artifact timed this with a blocking
+        # scalar read per call and H2D per rep, reporting 0.45 TFLOP/s /
+        # 0.287% MFU — that measured the RELAY, not the chip (the same
+        # program measures 37 TFLOP/s = ~19% of bf16 peak = ~75% of the
+        # f32 roofline at T=2048, which is also why no hand-fused Pallas
+        # frontend exists: XLA already saturates the f32 matmul path).
+        from real_time_audio_sync_tpu.features.chroma import (
+            _chroma_frames_impl,
+            frontend_constants,
+        )
 
-        T = ref.shape[1]
         n_fft, n_bins = 4096, 2049
-        flops_chroma = T * (2 * n_fft * 2 * n_bins + 2 * n_bins * 12 + 5 * n_fft)
-        wav_len = (T - 1) * 2048 + 4096
-        sig = jnp.asarray(np.random.default_rng(1).random(wav_len), jnp.float32)
+        Tserve = 2048  # the B=256 serving dispatch granularity
+        consts = frontend_constants(n_fft, 22050, np.float32)
+        frames_dev = jax.device_put(jnp.asarray(
+            np.random.default_rng(1).standard_normal((Tserve, n_fft)),
+            jnp.float32))
 
         @jax.jit
-        def _chroma_probe(x):
-            return chroma_pipeline(x).sum()
+        def _chroma_probe(fr, s):
+            return _chroma_frames_impl(fr + s, *consts).sum()
 
-        float(_chroma_probe(sig))  # compile
-        tch = min(_t_scalar(_chroma_probe, sig) for _ in range(5))
-        ach = flops_chroma / tch
-        log(f"chroma-frontend roofline: {flops_chroma/1e9:.2f} GFLOP / {tch*1e3:.1f} ms "
-            f"(incl one relay read) -> {ach/1e12:.2f} TFLOP/s = {ach/PEAK_BF16*100:.2f}% MFU")
+        float(_chroma_probe(frames_dev, jnp.float32(0.0)))  # compile
+        per = _pipelined_device_time(
+            _chroma_probe,
+            [(frames_dev, jnp.float32(i * 1e-4)) for i in range(20)])
+        flops_chroma = Tserve * (2 * n_fft * 2 * n_bins + 2 * n_bins * 12 + 5 * n_fft)
+        ach = flops_chroma / per
+        log(f"chroma-frontend roofline (on-device, T={Tserve}): "
+            f"{flops_chroma/1e9:.2f} GFLOP / {per*1e3:.2f} ms -> "
+            f"{ach/1e12:.2f} TFLOP/s = {ach/PEAK_BF16*100:.2f}% MFU "
+            f"({ach/(PEAK_BF16/4)*100:.0f}% of the f32 roofline)")
         _result["mfu"] = round(ach / PEAK_BF16, 5)
+        # serving A/B: the same 2048 frames on the single-core host FFT
+        # (the chroma-transfer extraction floor) vs on-device — device
+        # extraction wins wherever H2D bandwidth permits raw spans
+        from real_time_audio_sync_tpu.features.chroma import host_chroma_frames
+
+        hf = np.asarray(frames_dev)
+        host_chroma_frames(hf.copy(), overwrite_frames=True)  # warm
+        th = min(_t_scalar_wall(lambda: host_chroma_frames(hf.copy(), overwrite_frames=True)) for _ in range(3))
+        log(f"frontend serving A/B at T={Tserve}: host FFT {th*1e3:.1f} ms "
+            f"(1 core) vs on-device {per*1e3:.2f} ms -> device {th/per:.0f}x; "
+            f"host wins only where the link cannot carry raw spans "
+            f"(tunneled relay); direct-attach hosts should extract on-device")
 
         # per-stage latency budget for one per-frame insert (pipelined mode)
         col = np.ascontiguousarray(live[:, 0])
@@ -553,6 +634,61 @@ def main() -> int:
         log(f"AsyncWTW device-resident streaming: {wtwa_wall*1e3:.0f} ms -> "
             f"RTF {audio_sec/wtwa_wall:.0f}x (host WTW {audio_sec/wtw_wall:.0f}x)")
 
+        # fused WTW: the whole block step (append + due-window DP +
+        # backtrack + subpath commit) inside ONE Pallas kernel with state
+        # carried across launches (ops/pallas_wtw.py) — the round-4 close
+        # of the WTW-vs-OTW order-of-magnitude gap.  k_block=32 amortizes
+        # the relay dispatch floor; "chroma" transfer removes the H2D span
+        # bandwidth that caps the f32 mode on tunneled links.
+        from real_time_audio_sync_tpu.models import FusedWTW
+
+        def aligned_chunks(kb):
+            """First chunk yields exactly kb hop columns, rest kb columns
+            each — every engine then sees identical chroma matmul batch
+            shapes, so committed paths are comparable bit-for-bit."""
+            first = 4096 + (kb - 1) * 2048
+            rest = kb * 2048
+            n = (len(live_raw) - first) // rest
+            return ([live_raw[:first]]
+                    + [live_raw[first + i * rest : first + (i + 1) * rest]
+                       for i in range(n)]
+                    + [live_raw[first + n * rest :]])
+
+        def run_wtw_fused(kb, transfer, chunks):
+            eng = FusedWTW(REF_WAV, wtw_params, k_block=kb,
+                           transfer_dtype=transfer)
+            t0 = time.perf_counter()
+            for ch in chunks:
+                if eng.insert(ch) == "stop":
+                    break
+            eng.flush()
+            return time.perf_counter() - t0, eng
+
+        host_eng = WTW(REF_WAV, wtw_params)
+        c32 = aligned_chunks(32)
+        for ch in c32:
+            if host_eng.insert(ch) == "stop":
+                break
+        wtw_fused_rtf = None
+        for kb, transfer in ((8, "float32"), (32, "float32"), (32, "chroma")):
+            chunks_kb = c32 if kb == 32 else aligned_chunks(kb)
+            run_wtw_fused(kb, transfer, chunks_kb)  # compile
+            walls, feng = [], None
+            for _ in range(3):
+                w_, feng = run_wtw_fused(kb, transfer, chunks_kb)
+                walls.append(w_)
+            fwall = _median(walls)
+            extra = ""
+            if (kb, transfer) == (32, "float32"):
+                extra = f", paths==host {feng.path == host_eng.path}"
+            rtf_f = audio_sec / fwall
+            log(f"FusedWTW streaming (k{kb}/{transfer}): {fwall*1e3:.0f} ms "
+                f"-> RTF {rtf_f:.0f}x{extra}")
+            if (kb, transfer) == (32, "chroma"):
+                wtw_fused_rtf = rtf_f
+        if wtw_fused_rtf is not None:
+            _result["wtw_fused_rtf"] = round(wtw_fused_rtf, 1)
+
         # multi-stream WTW serving: B concurrent raw-audio followers, one
         # vmapped dispatch per block (parallel/wtw_serving.py)
         from real_time_audio_sync_tpu.parallel import MultiStreamWTW
@@ -620,6 +756,72 @@ def main() -> int:
         log(f"multi-stream WTW capacity (B={B64}, chroma transfer): {w64*1e3:.0f} ms -> "
             f"aggregate RTF {B64*audio_sec/w64:.0f}x ({audio_sec/w64:.1f}x per stream, "
             f"path0 {n64} pts)")
+
+        # fused multi-stream WTW (Pallas grid kernel): end-to-end (bound by
+        # this container's single-core host FFT — RTAS_HOST_FFT_WORKERS
+        # scales it on real hosts) AND the kernel+dispatch ceiling with the
+        # host extraction pre-built, which is what a multi-core host sees
+        from real_time_audio_sync_tpu.parallel import FusedMultiStreamWTW
+
+        def run_fwtw_b64():
+            ms = FusedMultiStreamWTW([REF_WAV] * B64, wtw_params, k_block=32,
+                                     transfer_dtype="chroma")
+            t0 = time.perf_counter()
+            for ch in c32:
+                ms.insert([ch] * B64)
+            ms.flush()
+            return time.perf_counter() - t0, ms
+
+        run_fwtw_b64()  # compile
+        fwalls = []
+        fms64 = None
+        for _ in range(2):
+            w_, fms64 = run_fwtw_b64()
+            fwalls.append(w_)
+        wf64 = _median(fwalls)
+        log(f"fused multi-stream WTW (B={B64}, k32, chroma): {wf64*1e3:.0f} ms "
+            f"-> {audio_sec/wf64:.1f}x RT/stream end-to-end (host-FFT-bound "
+            f"on this 1-core container), aggregate {B64*audio_sec/wf64:.0f}x")
+
+        # ceiling: replay the captured per-dispatch payloads through the
+        # kernel only (extraction cost excluded)
+        payloads = []
+        svc0 = FusedMultiStreamWTW([REF_WAV] * B64, wtw_params, k_block=32,
+                                   transfer_dtype="chroma")
+        orig_spans = svc0._spans
+        svc0._spans = lambda ks: (lambda p: (payloads.append((np.array(p), ks.copy())), p)[1])(orig_spans(ks))
+        for ch in c32:
+            svc0.insert([ch] * B64)
+        svc0.flush()
+        p0_ref = svc0.paths()[0]
+
+        def replay():
+            svc = FusedMultiStreamWTW([REF_WAV] * B64, wtw_params, k_block=32,
+                                      transfer_dtype="chroma")
+            t0 = time.perf_counter()
+            for p, ks in payloads:
+                lens = svc._lens_const.copy()
+                lens[:, 0, 2] = ks
+                svc._live_win, svc._scalars, status, dx, dy = svc._step(
+                    lens, svc._ref_dev, p, svc._live_win, svc._scalars,
+                    *svc._frontend_consts)
+                svc._deltas.append((status, dx, dy))
+                svc._outstanding.append(status)
+            svc._poll(block=True)
+            return time.perf_counter() - t0, svc
+
+        replay()  # warm
+        rwalls, rsvc = [], None
+        for _ in range(3):
+            w_, rsvc = replay()
+            rwalls.append(w_)
+        wceil = _median(rwalls)
+        okc = rsvc.paths()[0] == p0_ref
+        log(f"fused multi-stream WTW kernel ceiling (B={B64}, k32): "
+            f"{wceil*1e3:.0f} ms -> {audio_sec/wceil:.1f}x RT/stream "
+            f"({B64*audio_sec/wceil:.0f}x aggregate, "
+            f"{wceil/max(len(payloads),1)*1e3:.1f} ms/dispatch, paths match {okc})")
+        _result["wtw_b64_per_stream"] = round(audio_sec / wceil, 1)
 
         # the capacity floor itself: host chroma extraction throughput at the
         # B=256 dispatch granularity (pure host — window in place, pocketfft
@@ -709,22 +911,37 @@ def main() -> int:
         liveH = np.tile(live, (1, 103)).astype(np.float32)
         audioH = liveH.shape[1] * HOP_SEC
 
+        # round-4 protocol: k_block adapts to the measured relay dispatch
+        # floor (5163 k=8 dispatches under the round-3 congestion turned a
+        # 184-325x capability into a committed 17x), the number is a MEDIAN
+        # of 3 runs, and the per-dispatch wall is recorded next to it.
+        # Committed paths are k-invariant (tested).
+        kH = 32 if _relay_xfer_ms and _relay_xfer_ms <= 8.0 else 128
+
         def run_hour():
-            eng = FusedStreamingEngine(refH, PARAMS, k_block=8)
+            eng = FusedStreamingEngine(refH, PARAMS, k_block=kH)
             assert eng.long_ref  # auto-engaged above _LONG_REF_THRESHOLD
+            n_disp = 0
             t0 = time.perf_counter()
-            for s in range(0, liveH.shape[1], 8):
-                if eng.insert_block_nowait(liveH[:, s : s + 8]) == "stop":
+            for s in range(0, liveH.shape[1], kH):
+                n_disp += 1
+                if eng.insert_block_nowait(liveH[:, s : s + kH]) == "stop":
                     break
             eng.flush()
-            return time.perf_counter() - t0, eng
+            return time.perf_counter() - t0, eng, n_disp
 
-        wH, engH = run_hour()  # cached compile; single run (20 s wall)
+        run_hour()  # compile
+        hr = [run_hour() for _ in range(3)]
+        wH = _median([w for w, _, _ in hr])
+        _, engH, n_disp = hr[-1]
         pH = engH.path_array
         log(f"hour-long reference (N={refH.shape[1]}, {refH.shape[1]*HOP_SEC/60:.0f} min): "
             f"long-ref kernel streams {audioH/60:.0f} min of live audio in {wH:.1f} s "
-            f"-> RTF {audioH/wH:.0f}x, {len(pH)} path pts, reached ref frame {pH[-1][1]} "
+            f"(median of 3, k_block={kH}, {wH/n_disp*1e3:.1f} ms/dispatch, relay xfer "
+            f"{_relay_xfer_ms} ms) -> RTF {audioH/wH:.0f}x, {len(pH)} path pts, reached "
+            f"ref frame {pH[-1][1]} "
             f"(the python reference cannot run this scale: dense (2N,N) f64 acc ~24 TB)")
+        _result["hour_rtf"] = round(audioH / wH, 1)
     except Exception as e:
         log(f"fused OTW kernel diagnostic skipped ({e})")
 
@@ -738,39 +955,72 @@ def main() -> int:
         from real_time_audio_sync_tpu.ops.pallas_wavefront import wavefront_dp_pallas
         from real_time_audio_sync_tpu.ops.wavefront import DTW_SPEC, wavefront_dp
 
+        # round-4 protocol: device-resident input, fresh content in-program,
+        # pipelined dispatches — the round-3 line bundled a ~27 ms relay
+        # read into both sides and could not distinguish a 1.06x from a
+        # 10x kernel margin (VERDICT weak item 6)
+        cost_dev = jax.device_put(jnp.asarray(
+            np.random.default_rng(0).random((1900, 1900)), jnp.float32))
+
         @_partial(jax.jit, static_argnames=("which",))
-        def _dp_probe(cost, which):
+        def _dp_probe2(cost, s, which):
             f = wavefront_dp if which == "scan" else wavefront_dp_pallas
-            acc, back = f(cost, DTW_SPEC)
+            acc, back = f(cost + s, DTW_SPEC)
             return acc[-1, -1] + back.astype(jnp.int32).sum()
 
-        cost_big = jnp.asarray(np.random.default_rng(0).random((1900, 1900)), jnp.float32)
+        times = {}
         for which in ("scan", "pallas"):
-            float(_dp_probe(cost_big, which))  # compile
-        t_scan = min(_t_scalar(_dp_probe, cost_big, "scan") for _ in range(5))
-        t_pal = min(_t_scalar(_dp_probe, cost_big, "pallas") for _ in range(5))
-        log(f"offline DTW wavefront 1900x1900: scan {t_scan*1e3:.1f} ms, "
-            f"pallas kernel {t_pal*1e3:.1f} ms -> {t_scan/t_pal:.1f}x (incl ~27 ms relay read)")
+            float(_dp_probe2(cost_dev, jnp.float32(0.0), which))  # compile
+            times[which] = _pipelined_device_time(
+                lambda c, s, w=which: _dp_probe2(c, s, w),
+                [(cost_dev, jnp.float32(i * 1e-6)) for i in range(8)], reps=8)
+        log(f"offline DTW wavefront 1900x1900 (on-device): scan "
+            f"{times['scan']*1e3:.1f} ms, pallas kernel {times['pallas']*1e3:.1f} ms "
+            f"-> {times['scan']/times['pallas']:.1f}x")
 
         # backtrack: scan pointer chase vs the in-kernel Pallas chase
         from real_time_audio_sync_tpu.ops.pallas_wavefront import backtrack_pallas
         from real_time_audio_sync_tpu.ops.wavefront import backtrack as _bt_scan
 
-        _, back_big = wavefront_dp_pallas(cost_big, DTW_SPEC)
+        _, back_big = wavefront_dp_pallas(cost_dev, DTW_SPEC)
         back_big = jax.block_until_ready(back_big)
 
         @_partial(jax.jit, static_argnames=("which",))
-        def _bt_probe(back, which):
+        def _bt_probe(back, s, which):
             f = _bt_scan if which == "scan" else backtrack_pallas
-            pts, ln = f(back, DTW_SPEC)
+            pts, ln = f(back + s, DTW_SPEC)
             return pts.astype(jnp.int32).sum() + ln
 
+        bt = {}
         for which in ("scan", "pallas"):
-            float(_bt_probe(back_big, which))  # compile
-        bt_scan = min(_t_scalar(_bt_probe, back_big, "scan") for _ in range(5))
-        bt_pal = min(_t_scalar(_bt_probe, back_big, "pallas") for _ in range(5))
-        log(f"DTW backtrack 1900x1900: scan {bt_scan*1e3:.1f} ms, "
-            f"pallas kernel {bt_pal*1e3:.1f} ms (incl ~27 ms relay read)")
+            float(_bt_probe(back_big, jnp.int8(0), which))  # compile
+            # fresh s per dispatch defeats the relay's (program, input)
+            # dedupe; shifted codes make the traced path garbage, which is
+            # irrelevant for timing (fixed-length pointer chase either way)
+            bt[which] = _pipelined_device_time(
+                lambda b, s, w=which: _bt_probe(b, s, w),
+                [(back_big, jnp.int8(i)) for i in range(8)], reps=8)
+        log(f"DTW backtrack 1900x1900 (on-device): scan {bt['scan']*1e3:.1f} ms, "
+            f"pallas kernel {bt['pallas']*1e3:.1f} ms -> {bt['scan']/bt['pallas']:.1f}x")
+
+        # hour-scale OFFLINE alignment: the banded DP (ops/banded_dtw.py)
+        # aligns a 60-minute pair in O(M*band) memory — the dense wavefront
+        # would need ~12 GB of acc+back
+        from real_time_audio_sync_tpu.ops.banded_dtw import dtw_banded
+
+        refH2 = np.tile(ref, (1, 103)).astype(np.float32)
+        liveH2 = np.tile(live, (1, 103)).astype(np.float32)
+        dtw_banded(liveH2, refH2, band=512)  # compile
+        bw, (bpath, bcost) = _median_wall(
+            lambda: dtw_banded(liveH2, refH2, band=512), reps=3)
+        audioH2 = liveH2.shape[1] * HOP_SEC
+        dpH = np.diff(bpath, axis=0)
+        sane = bool((dpH >= 0).all()) and tuple(bpath[-1]) == (
+            liveH2.shape[1] - 1, refH2.shape[1] - 1)
+        log(f"hour-scale offline DTW (banded, M={liveH2.shape[1]} N={refH2.shape[1]}, "
+            f"band=512): {bw:.2f} s -> RTF {audioH2/bw:.0f}x, {len(bpath)} pts, "
+            f"monotone+corner-to-corner {sane}")
+        _result["offline_hour_rtf"] = round(audioH2 / bw, 1)
     except Exception as e:
         log(f"pallas wavefront diagnostic skipped ({e})")
 
@@ -804,7 +1054,12 @@ def main() -> int:
 
 _result = None
 _json_printed = False
-_WATCHDOG_S = 540  # hard cap on diagnostics; the result is emitted regardless
+_relay_rtt_ms = None
+_relay_xfer_ms = None
+_WATCHDOG_S = 780  # hard cap on diagnostics; the result is emitted regardless
+# (raised for round 4's added sections — fused WTW, B=64 ceiling, hour-scale
+# medians, banded offline DTW; all programs are compile-cached by the
+# in-round runs, so a healthy run stays well under this)
 
 import threading as _threading
 
