@@ -37,6 +37,38 @@ DEFAULT_WTW_PARAMS = {  # tests.py:174
 
 ENGINES = ("dtw", "otw", "livenote", "livenote_v2", "livenote_v2_diff", "wtw")
 
+# Extraction memo for corpus sweeps: each recording appears in up to
+# |recs|−1 pairs AND in every engine × mode combination of a sweep, and on
+# relay-attached TPUs one extraction is dominated by shipping the ~30 MB
+# padded wav host→device — measured 17 minutes for ONE engine over the
+# full-scale corpus without the memo.  Keyed by (path, mtime, kind, dtype);
+# bounded (the cached (12, T) chroma is ~200 KB, raw audio ~8-30 MB).
+_FEAT_CACHE: Dict[tuple, np.ndarray] = {}
+_FEAT_CACHE_MAX = 64
+
+
+def _cached(kind: str, path: str, dtype) -> np.ndarray:
+    from real_time_audio_sync_tpu.features.chroma import (
+        wav_to_chroma,
+        wav_to_chroma_diff,
+    )
+    from real_time_audio_sync_tpu.utils.wavio import load_wav
+
+    key = (os.path.abspath(path), os.path.getmtime(path), kind,
+           np.dtype(dtype).name)
+    if key not in _FEAT_CACHE:
+        if len(_FEAT_CACHE) >= _FEAT_CACHE_MAX:
+            _FEAT_CACHE.clear()
+        if kind == "audio":
+            wav, fs = load_wav(path)
+            assert fs == 22050
+            _FEAT_CACHE[key] = np.asarray(wav)
+        elif kind == "chroma":
+            _FEAT_CACHE[key] = wav_to_chroma(path, dtype=dtype)
+        else:
+            _FEAT_CACHE[key] = wav_to_chroma_diff(path, dtype=dtype)
+    return _FEAT_CACHE[key]
+
 
 @dataclasses.dataclass
 class PairResult:
@@ -75,7 +107,6 @@ def align_pair(
     :class:`AsyncWTW` stepper (bit-equal paths to the host engine, ~5x the
     corpus sweep throughput); ``mode="oracle"`` opts into the host-side
     reference-shaped WTW loop (models/wtw.py) — the parity oracle."""
-    from real_time_audio_sync_tpu.features.chroma import wav_to_chroma, wav_to_chroma_diff
     from real_time_audio_sync_tpu.models import (
         DTW,
         LiveNote,
@@ -83,7 +114,6 @@ def align_pair(
         OnlineTimeWarping,
         WTW,
     )
-    from real_time_audio_sync_tpu.utils.wavio import load_wav
 
     if engine not in ENGINES:
         raise ValueError(f"unknown engine {engine!r}; choose from {ENGINES}")
@@ -114,8 +144,7 @@ def align_pair(
 
             wtw = AsyncWTW(ref_wav, params or DEFAULT_WTW_PARAMS, k_block=8,
                            dtype=dtype)
-        live, fs = load_wav(live_wav)
-        assert fs == 22050
+        live = _cached("audio", live_wav, np.float64)
         for buf in np.array_split(live, 4096):  # tests.py:186
             if wtw.insert(buf) == "stop":
                 break
@@ -123,9 +152,9 @@ def align_pair(
             wtw.flush()
         path = wtw.path
     else:
-        feature = wav_to_chroma_diff if engine == "livenote_v2_diff" else wav_to_chroma
-        ref_seq = feature(ref_wav, dtype=dtype)
-        live_seq = feature(live_wav, dtype=dtype)
+        kind = "chroma_diff" if engine == "livenote_v2_diff" else "chroma"
+        ref_seq = _cached(kind, ref_wav, dtype)
+        live_seq = _cached(kind, live_wav, dtype)
         p = params or DEFAULT_PARAMS
         if engine == "dtw":
             _, _, path = DTW(live_seq, ref_seq, dtype=dtype)
@@ -275,17 +304,16 @@ class CorpusRunner:
         import jax
         from jax.experimental.pallas import tpu as pltpu
 
-        from real_time_audio_sync_tpu.features.chroma import wav_to_chroma, wav_to_chroma_diff
         from real_time_audio_sync_tpu.models.online_core import ENGINE_OVERRIDES
         from real_time_audio_sync_tpu.ops.pallas_otw import pallas_batched_set_live
 
         if np.dtype(self.dtype) != np.float32:
             raise ValueError("mode='fused' runs the float32 device backends")
-        feature = wav_to_chroma_diff if self.engine == "livenote_v2_diff" else wav_to_chroma
+        kind = "chroma_diff" if self.engine == "livenote_v2_diff" else "chroma"
         refs, lives = [], []
         for ref_wav, live_wav in pairs:
-            refs.append(np.asarray(feature(ref_wav, dtype=np.float32)))
-            lives.append(np.asarray(feature(live_wav, dtype=np.float32)))
+            refs.append(np.asarray(_cached(kind, ref_wav, np.float32)))
+            lives.append(np.asarray(_cached(kind, live_wav, np.float32)))
         p = self.params or DEFAULT_PARAMS
         ctx = (
             pltpu.force_tpu_interpret_mode()
@@ -310,7 +338,6 @@ class CorpusRunner:
         CPU; on the TPU MXU up to batch-shape accumulation, PARITY.md
         deviation 8 — the same caveat as any fused/batched regime)."""
         from real_time_audio_sync_tpu.parallel.wtw_serving import MultiStreamWTW
-        from real_time_audio_sync_tpu.utils.wavio import load_wav
 
         if np.dtype(self.dtype) != np.float32:
             raise ValueError("mode='fused' runs the float32 device backends")
@@ -319,8 +346,7 @@ class CorpusRunner:
         )
         iters = []
         for _, live_wav in pairs:
-            live, fs = load_wav(live_wav)
-            assert fs == 22050
+            live = _cached("audio", live_wav, np.float64)
             iters.append(iter(np.array_split(live, 4096)))
         done = [False] * len(pairs)
         while not all(done):
