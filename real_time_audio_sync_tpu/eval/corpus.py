@@ -108,7 +108,6 @@ def align_pair(
     corpus sweep throughput); ``mode="oracle"`` opts into the host-side
     reference-shaped WTW loop (models/wtw.py) — the parity oracle."""
     from real_time_audio_sync_tpu.models import (
-        DTW,
         LiveNote,
         LiveNoteV2,
         OnlineTimeWarping,
@@ -157,7 +156,20 @@ def align_pair(
         live_seq = _cached(kind, live_wav, dtype)
         p = params or DEFAULT_PARAMS
         if engine == "dtw":
-            _, _, path = DTW(live_seq, ref_seq, dtype=dtype)
+            # fetch ONLY the backtracked path: the scorer never reads the
+            # dense cost/acc matrices, and on relay-attached TPUs fetching
+            # them costs ~100 MB per pair (the full-scale corpus sweep's
+            # dominant wall after extraction memoization)
+            import jax
+            import jax.numpy as jnp
+
+            from real_time_audio_sync_tpu.models.dtw import dtw_device
+
+            _, _, points, length = dtw_device(
+                jnp.asarray(np.asarray(live_seq, dtype)),
+                jnp.asarray(np.asarray(ref_seq, dtype)))
+            pts, ln = jax.device_get((points, length))
+            path = np.asarray(pts)[: int(ln)][::-1]
         elif mode == "fused":
             import contextlib
 
