@@ -80,9 +80,23 @@ class PairResult:
 
 
 def _streaming_path(engine, live_seq) -> List[Tuple[int, int]]:
-    for i in range(live_seq.shape[1]):
-        if engine.insert(live_seq[:, i]) == "stop":
-            break
+    """Frame-by-frame streaming (the reference harness regime,
+    tests.py:160-163), through the pipelined surface when the engine has
+    one: synchronous ``insert`` costs a device round-trip PER FRAME on
+    relay-attached TPUs (~27 ms × thousands of frames × pairs — hours for
+    the full-scale corpus), while ``insert_nowait`` + lazy stop commits the
+    identical path (post-stop inserts are frozen no-ops in-program,
+    tested engine-wide)."""
+    nowait = getattr(engine, "insert_nowait", None)
+    if nowait is not None and hasattr(engine, "flush"):
+        for i in range(live_seq.shape[1]):
+            if nowait(live_seq[:, i]) == "stop":
+                break
+        engine.flush()
+    else:
+        for i in range(live_seq.shape[1]):
+            if engine.insert(live_seq[:, i]) == "stop":
+                break
     return engine.path
 
 
