@@ -22,7 +22,14 @@ from real_time_audio_sync_tpu.ops.wavefront import DTW_SPEC, backtrack, wavefron
 
 @jax.jit
 def _cosine_cost(seq_a, seq_b):
-    return 1.0 - seq_a.T @ seq_b
+    # Precision.HIGHEST: exact-f32 MXU path.  The default single-pass
+    # matmul truncates inputs to bf16 on TPU (~1e-3 cost error), which
+    # diverges the DP from the f64 reference recurrence and makes two
+    # differently-shaped cost programs (dense vs banded) disagree with
+    # each other (observed: 413/657 path points on the Chopin pair).
+    # Identical on CPU, where f32 matmuls are exact.
+    return 1.0 - jnp.matmul(seq_a.T, seq_b,
+                            precision=jax.lax.Precision.HIGHEST)
 
 
 def _use_pallas(backend: str, dtype) -> bool:

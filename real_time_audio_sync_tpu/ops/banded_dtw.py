@@ -70,7 +70,12 @@ def _banded_dp(seq_a, seq_b, band: int):
         delta = off - prev_off
         ref_win = lax.dynamic_slice(seq_b, (jnp.int32(0), off), (f, w))
         live_i = lax.dynamic_slice(seq_a, (jnp.int32(0), i), (f, 1))[:, 0]
-        cost = 1.0 - live_i @ ref_win  # (W,) cosine cost (dtw.py:11)
+        # (W,) cosine cost (dtw.py:11); Precision.HIGHEST = exact f32 so
+        # the banded DP agrees with the dense engine's cost on TPU (the
+        # default bf16-truncating path differs per program shape —
+        # models/dtw._cosine_cost rationale)
+        cost = 1.0 - jnp.matmul(live_i, ref_win,
+                                precision=jax.lax.Precision.HIGHEST)
 
         prev_pad = jnp.concatenate([jnp.full((1,), inf, dtype), prev,
                                     jnp.full((dmax,), inf, dtype)])

@@ -175,6 +175,33 @@ ach.flush()
 assert len(ach.path) == len(af32.path), "chroma-transfer path length mismatch"
 ndiff = sum(1 for x, y in zip(ach.path, af32.path) if x != y)
 assert ndiff <= max(2, len(af32.path) // 100), f"chroma-transfer paths diverge: {{ndiff}} pts"
+
+# fused WTW kernel (ops/pallas_wtw.py): the whole block step in one
+# persistent-state Pallas launch must commit the host engine's exact path
+from real_time_audio_sync_tpu.models import FusedWTW
+fwtw = FusedWTW("/root/reference/Songs/chopin/chopin_rubinstein_20b.wav", wp, k_block=8)
+for ch in chunks:
+    if fwtw.insert(ch) == "stop":
+        break
+fwtw.flush()
+assert fwtw.path == host.path, "FusedWTW path mismatch vs host WTW"
+assert fwtw.pointers == (host.chroma_ptr, host.live_ptr, host.ref_ptr), "FusedWTW pointer mismatch"
+
+# fused multi-stream WTW (grid kernel): B=2 against the solo fused engine
+from real_time_audio_sync_tpu.parallel import FusedMultiStreamWTW
+fmsw = FusedMultiStreamWTW(["/root/reference/Songs/chopin/chopin_rubinstein_20b.wav"] * 2, wp, k_block=8)
+for ch in chunks:
+    fmsw.insert([ch, ch])
+fmsw.flush()
+for pth in fmsw.paths():
+    assert pth == host.path, "FusedMultiStreamWTW path mismatch"
+
+# banded offline DTW: exact vs the dense wavefront at band=256 on the pair
+from real_time_audio_sync_tpu.models.dtw import DTW as _DTW
+from real_time_audio_sync_tpu.ops.banded_dtw import dtw_banded
+_, _, dpath = _DTW(live.astype(np.float32), ref.astype(np.float32))
+bpath, _ = dtw_banded(live.astype(np.float32), ref.astype(np.float32), band=256)
+assert np.array_equal(dpath, bpath), "banded DTW path mismatch vs dense"
 print("TPU_PARITY_PASS")
 """
 
