@@ -274,6 +274,7 @@ class WTWFollower:
         dtype=np.float32,
         engine: str = "wtw",
         transfer_dtype: str = "float32",
+        interpret: bool = False,
     ):
         # live-app window sizes (wtw_live.py:106)
         self.params = dict(
@@ -283,7 +284,9 @@ class WTWFollower:
         self.ref_wav = ref_wav
         if engine == "wtw":
             if transfer_dtype != "float32":
-                raise ValueError("transfer_dtype applies to engine='wtw_async' only")
+                raise ValueError(
+                    "transfer_dtype applies to the device-resident engines "
+                    "('wtw_async'/'wtw_fused') only")
             from real_time_audio_sync_tpu.models.wtw import WTW
 
             self.dtw = WTW(ref_wav, self.params, dtype=dtype)
@@ -296,6 +299,17 @@ class WTWFollower:
 
             self.dtw = AsyncWTW(ref_wav, self.params, dtype=dtype,
                                 transfer_dtype=transfer_dtype)
+        elif engine == "wtw_fused":
+            # persistent-state Pallas kernel (ops/pallas_wtw.py): the whole
+            # block step in one launch — the fastest streaming WTW backend
+            # for w <= 128 (identical committed paths, same lazy stop)
+            from real_time_audio_sync_tpu.models.fused_wtw import FusedWTW
+
+            if np.dtype(dtype) != np.float32:
+                raise ValueError("engine='wtw_fused' is float32-only")
+            self.dtw = FusedWTW(ref_wav, self.params,
+                                transfer_dtype=transfer_dtype,
+                                interpret=interpret)
         else:
             raise ValueError(f"unknown WTW follower engine {engine!r}")
         self.engine_name = engine
@@ -327,7 +341,7 @@ class WTWFollower:
         self.latency.stop()
         if status == "stop":
             self.stopped = True
-        if self.engine_name == "wtw_async":
+        if self.engine_name in ("wtw_async", "wtw_fused"):
             # non-blocking: read the score position from the last polled
             # status vector instead of synchronizing on the device path
             lp = self.dtw.last_point
@@ -356,7 +370,7 @@ class WTWFollower:
 
     def stop(self) -> Optional[str]:
         self.recording = False
-        if self.engine_name == "wtw_async":
+        if self.engine_name in ("wtw_async", "wtw_fused"):
             if self.dtw.flush() == "stop":  # drain in-flight dispatches
                 self.stopped = True
         if not self.log_dir:

@@ -346,3 +346,43 @@ def test_display_widgets():
     kf = KFAnim((0, 0.0), (2, 10.0))
     assert kf.eval(1) == 5.0
     assert kf.is_active(1) and not kf.is_active(3)
+
+
+def test_wtw_follower_fused_engine(chopin_pair, tmp_path):
+    """engine='wtw_fused' (the persistent-state Pallas kernel) through the
+    live follower: identical committed path to the host engine, positions
+    surfaced from the polled status vector (interpret mode on CPU)."""
+    import time
+
+    from real_time_audio_sync_tpu.streaming.runtime import WTWFollower
+
+    ref_wav, live_wav = chopin_pair
+    host = WTWFollower(ref_wav, live_wav, engine="wtw")
+    host.start()
+    for buf in SimulatedMic(live_wav, buffer_size=4096):
+        host.receive_audio(buf)
+        if host.stopped:
+            break
+    host.stop()
+
+    f = WTWFollower(ref_wav, live_wav, log_dir=str(tmp_path),
+                    engine="wtw_fused", interpret=True)
+    f.dtw.poll_min_interval = 0.02
+    f.start()
+    bufs = list(SimulatedMic(live_wav, buffer_size=4096))
+    events = []
+    for buf in bufs[: int(len(bufs) * 0.8)]:
+        events += f.receive_audio(buf)
+    f.dtw.flush()
+    for buf in bufs[int(len(bufs) * 0.8) :]:
+        events += f.receive_audio(buf)
+        time.sleep(0.01)
+        if f.stopped:
+            break
+    log = f.stop()
+    # f64 host vs f32 fused: same chroma batch shapes per buffer (4096 =
+    # fft_len chunks), paths equal on the real pair
+    assert [tuple(p) for p in f.path] == [tuple(p) for p in host.path]
+    refs = [e.ref_frame for e in events]
+    assert refs and max(refs) > 100
+    assert log is not None
