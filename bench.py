@@ -121,6 +121,13 @@ def main() -> int:
     log(f"devices: {jax.devices()}")
     global _backend_up
     _backend_up = True  # init watchdog stands down (outages hang HERE)
+    # Second outage mode (observed 2026-08-19): device LISTING succeeds but
+    # every execution hangs indefinitely — the init watchdog stands down and
+    # the run would hang into the driver timeout with no artifact.  This
+    # headline watchdog emits an explicit outage marker if the headline has
+    # not been computed within its deadline (a healthy run reaches it in
+    # ~3-4 min including the relay probe and feature extraction).
+    _headline_watchdog(900.0)
 
     # relay-health preamble: the tunneled TPU's dispatch RTT and host→device
     # bandwidth vary >10x over time (multi-tenant relay; docs/STATUS.md
@@ -1078,6 +1085,32 @@ def _emit_result():
 
 
 _backend_up = False
+
+
+def _headline_watchdog(deadline_s: float) -> None:
+    """Emit an explicit relay-outage marker if the headline result has not
+    been computed ``deadline_s`` after backend init (the execution-hang
+    outage mode: jax.devices() answers, every dispatch blocks forever)."""
+    def watch():
+        time.sleep(deadline_s)
+        global _result
+        if _result is not None:
+            return
+        _result = {
+            "metric": "streaming_otw_rtf",
+            "value": 0.0,
+            "unit": "audio_sec/wall_sec",
+            "vs_baseline": 0.0,
+            "error": "tpu_execution_hung_relay_outage",
+        }
+        log(f"headline watchdog: no result {deadline_s:.0f} s after backend "
+            f"init — relay executions hanging (outage); emitting marker")
+        _emit_result()
+        import os
+
+        os._exit(1)
+
+    _threading.Thread(target=watch, daemon=True).start()
 
 
 def _init_watchdog(deadline_s: float = 900.0) -> None:
