@@ -405,3 +405,68 @@ def load_async_wtw_state(engine, path: str) -> None:
     engine.buf = SampleFIFO.from_array(data["buf"], engine.dtype)
     _reset_polling(engine)
     engine._stopped_cached = bool(int(data["stopped"]))
+
+
+def save_fused_wtw_state(engine, path: str) -> None:
+    """Snapshot a FusedWTW engine (models/fused_wtw.py): the sliding VMEM
+    live window + scalar state, the host-accumulated committed path
+    (pending per-launch deltas drained first) and the host sample FIFO.
+    Flushes first so the snapshot is a consistent frontier."""
+    engine.flush()
+    p = engine.path_array  # drains pending deltas
+    np.savez_compressed(
+        path,
+        chroma_ref=engine.chroma_ref,
+        live_win=np.asarray(engine._live_win),
+        scalars=np.asarray(engine._scalars),
+        host_path=p,
+        buf=engine.buf.to_array().astype(np.float64),
+        stopped=np.int32(engine._stopped_cached),
+        k_block=np.int32(engine.k_block),
+        dtw_win_size=np.int32(engine.params.dtw_win_size),
+        dtw_hop_size=np.int32(engine.params.dtw_hop_size),
+        transfer=np.str_(engine.transfer_dtype),
+    )
+
+
+def load_fused_wtw_state(engine, path: str) -> None:
+    """Restore a snapshot into a compatibly-constructed FusedWTW engine
+    (same reference recording, params, k_block and transfer_dtype)."""
+    import jax
+    import jax.numpy as jnp
+
+    from real_time_audio_sync_tpu.models.wtw import SampleFIFO
+
+    data = np.load(path)
+    if data["chroma_ref"].shape != engine.chroma_ref.shape or not np.array_equal(
+        data["chroma_ref"], engine.chroma_ref
+    ):
+        raise ValueError("checkpoint was taken against a different reference recording")
+    if int(data["k_block"]) != engine.k_block:
+        raise ValueError(
+            f"checkpoint k_block {int(data['k_block'])} != engine k_block {engine.k_block}")
+    if str(data["transfer"]) != engine.transfer_dtype:
+        raise ValueError(
+            f"checkpoint transfer_dtype {data['transfer']} != engine "
+            f"{engine.transfer_dtype}")
+    # window geometry validation (save_async_wtw_state rationale): the
+    # sliding-window shapes depend on (w, hop_frames, k_block), but two
+    # window configs can collide on every array shape
+    _check_params(data, ("dtw_win_size", engine.params.dtw_win_size),
+                  ("dtw_hop_size", engine.params.dtw_hop_size))
+    for name, cur in (("live_win", engine._live_win),
+                      ("scalars", engine._scalars)):
+        if data[name].shape != cur.shape:
+            raise ValueError(
+                f"checkpoint field {name!r} has shape {data[name].shape}, "
+                f"engine expects {cur.shape}")
+    engine._live_win = jax.device_put(jnp.asarray(data["live_win"]))
+    engine._scalars = jax.device_put(jnp.asarray(data["scalars"]))
+    p = data["host_path"]
+    engine._deltas.clear()
+    engine._host_px = [p[:, 0].astype(np.int32)] if len(p) else []
+    engine._host_py = [p[:, 1].astype(np.int32)] if len(p) else []
+    engine._drained_plen = len(p)
+    engine.buf = SampleFIFO.from_array(data["buf"], engine.dtype)
+    _reset_polling(engine)
+    engine._stopped_cached = bool(int(data["stopped"]))

@@ -428,3 +428,57 @@ def test_last_point_thread_safe_drain():
         for t in readers:
             t.join(5)
     assert not errors, errors
+
+
+def test_fused_wtw_checkpoint_resume(tmp_path):
+    """FusedWTW state (sliding live window + scalars + host path + FIFO)
+    round-trips through .npz: resuming in a fresh engine continues to the
+    identical committed path and pointers (interpret mode on CPU)."""
+    from real_time_audio_sync_tpu.models.fused_wtw import FusedWTW
+    from real_time_audio_sync_tpu.utils.checkpoint import (
+        load_fused_wtw_state,
+        save_fused_wtw_state,
+    )
+    from real_time_audio_sync_tpu.utils.wavio import write_wav
+    from tests.test_wtw import _synthetic_performance, WTW_PARAMS
+
+    ref = _synthetic_performance(seconds=12.0, seed=3)
+    idx = np.linspace(0, len(ref) - 1, int(len(ref) * 1.05))
+    live = np.interp(idx, np.arange(len(ref)), ref).astype(np.float32)
+    ref_path = str(tmp_path / "ref.wav")
+    write_wav(ref_path, ref)
+
+    chunks = np.array_split(live, 97)  # unaligned chunking
+    full = FusedWTW(ref_path, WTW_PARAMS, k_block=8, interpret=True)
+    for buf in chunks:
+        if full.insert(buf) == "stop":
+            break
+    full.flush()
+
+    half = len(chunks) // 2
+    first = FusedWTW(ref_path, WTW_PARAMS, k_block=8, interpret=True)
+    for buf in chunks[:half]:
+        first.insert(buf)
+    ckpt = str(tmp_path / "fwtw.npz")
+    save_fused_wtw_state(first, ckpt)
+    resumed = FusedWTW(ref_path, WTW_PARAMS, k_block=8, interpret=True)
+    load_fused_wtw_state(resumed, ckpt)
+    for buf in chunks[half:]:
+        if resumed.insert(buf) == "stop":
+            break
+    resumed.flush()
+    assert resumed.path == full.path
+    assert resumed.pointers == full.pointers
+
+    # geometry / config mismatches must be rejected, not silently restored
+    other = FusedWTW(ref_path, {**WTW_PARAMS, "dtw_win_size": 4096 * 5},
+                     k_block=8, interpret=True)
+    with pytest.raises(ValueError):
+        load_fused_wtw_state(other, ckpt)
+    kb = FusedWTW(ref_path, WTW_PARAMS, k_block=4, interpret=True)
+    with pytest.raises(ValueError, match="k_block"):
+        load_fused_wtw_state(kb, ckpt)
+    tr = FusedWTW(ref_path, WTW_PARAMS, k_block=8, transfer_dtype="chroma",
+                  interpret=True)
+    with pytest.raises(ValueError, match="transfer"):
+        load_fused_wtw_state(tr, ckpt)
