@@ -67,13 +67,6 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def _t_scalar(f, *a):
-    """Wall time of one dispatch synchronized by a scalar read."""
-    t0 = time.perf_counter()
-    float(f(*a))
-    return time.perf_counter() - t0
-
-
 def _median(xs):
     return float(np.median(np.asarray(xs, float)))
 
