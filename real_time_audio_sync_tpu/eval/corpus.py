@@ -145,18 +145,33 @@ def align_pair(
                              "(the insert mode supports float64)")
 
     if engine == "wtw":
+        pw = params or DEFAULT_WTW_PARAMS
         if mode == "oracle":
             # host-side reference-shaped loop (models/wtw.py) — the parity
             # oracle; ~5x slower than the device-resident stepper for no
             # accuracy benefit (paths are bit-equal, tested)
-            wtw = WTW(ref_wav, params or DEFAULT_WTW_PARAMS, dtype=dtype)
+            wtw = WTW(ref_wav, pw, dtype=dtype)
+        elif mode == "fused":
+            # the fused Pallas kernel for windows it supports (the same
+            # backend the batched sweep uses, so batched == solo holds
+            # bit-for-bit); larger windows fall back to the XLA stepper
+            import jax
+
+            from real_time_audio_sync_tpu.config import WTWParams
+            from real_time_audio_sync_tpu.models import AsyncWTW, FusedWTW
+
+            wp = WTWParams.from_any(pw)
+            if wp.dtw_win_size // wp.hop_size <= 128:
+                wtw = FusedWTW(ref_wav, pw, k_block=8,
+                               interpret=jax.devices()[0].platform == "cpu")
+            else:
+                wtw = AsyncWTW(ref_wav, pw, k_block=8, dtype=dtype)
         else:
             # device-resident stepper: pointers, window DP and commits all
             # on-device, async dispatch per 8-column block (models/wtw_async)
             from real_time_audio_sync_tpu.models import AsyncWTW
 
-            wtw = AsyncWTW(ref_wav, params or DEFAULT_WTW_PARAMS, k_block=8,
-                           dtype=dtype)
+            wtw = AsyncWTW(ref_wav, pw, k_block=8, dtype=dtype)
         live = _cached("audio", live_wav, np.float64)
         for buf in np.array_split(live, 4096):  # tests.py:186
             if wtw.insert(buf) == "stop":
@@ -358,18 +373,33 @@ class CorpusRunner:
         return results
 
     def _evaluate_wtw_batched(self, pairs: List[Tuple[str, str]], verbose: bool) -> List[PairResult]:
-        """All pairs through :class:`MultiStreamWTW` at once, each stream fed
+        """All pairs through one multi-stream WTW service, each stream fed
         the harness chunking (``np.array_split(live, 4096)``, tests.py:186).
-        Per-stream committed paths equal solo AsyncWTW runs (bit-exact on
-        CPU; on the TPU MXU up to batch-shape accumulation, PARITY.md
-        deviation 8 — the same caveat as any fused/batched regime)."""
-        from real_time_audio_sync_tpu.parallel.wtw_serving import MultiStreamWTW
+        Windows ≤ 128 frames run the fused Pallas grid kernel
+        (FusedMultiStreamWTW — per-launch cost flat in reference length);
+        larger windows fall back to the vmapped XLA stepper.  Per-stream
+        committed paths equal solo AsyncWTW runs (bit-exact on CPU; on the
+        TPU MXU up to batch-shape accumulation, PARITY.md deviation 8 —
+        the same caveat as any fused/batched regime)."""
+        import jax
+
+        from real_time_audio_sync_tpu.parallel.wtw_serving import (
+            FusedMultiStreamWTW,
+            MultiStreamWTW,
+        )
 
         if np.dtype(self.dtype) != np.float32:
             raise ValueError("mode='fused' runs the float32 device backends")
-        ms = MultiStreamWTW(
-            [r for r, _ in pairs], self.params or DEFAULT_WTW_PARAMS, k_block=8,
-        )
+        p = self.params or DEFAULT_WTW_PARAMS
+        w = (p["dtw_win_size"] if isinstance(p, dict) else p.dtw_win_size) // (
+            p["hop_size"] if isinstance(p, dict) else p.hop_size)
+        if w <= 128:
+            ms = FusedMultiStreamWTW(
+                [r for r, _ in pairs], p, k_block=8,
+                interpret=jax.devices()[0].platform == "cpu",
+            )
+        else:
+            ms = MultiStreamWTW([r for r, _ in pairs], p, k_block=8)
         iters = []
         for _, live_wav in pairs:
             live = _cached("audio", live_wav, np.float64)
