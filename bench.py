@@ -687,7 +687,8 @@ def main() -> int:
             if host_eng.insert(ch) == "stop":
                 break
         wtw_fused_rtf = None
-        for kb, transfer in ((8, "float32"), (32, "float32"), (32, "chroma")):
+        for kb, transfer in ((8, "float32"), (32, "float32"),
+                             (32, "chroma"), (64, "chroma")):
             chunks_kb = c32 if kb == 32 else aligned_chunks(kb)
             run_wtw_fused(kb, transfer, chunks_kb)  # compile
             walls, feng = [], None
@@ -696,12 +697,16 @@ def main() -> int:
                 walls.append(w_)
             fwall = _median(walls)
             extra = ""
-            if (kb, transfer) == (32, "float32"):
+            if transfer == "float32" and kb == 32:
                 extra = f", paths==host {feng.path == host_eng.path}"
+            elif kb == 64:
+                # chroma-transfer numerics (host rfft) can knife-edge flip
+                # ties (PARITY deviation 10) — compare lengths, not points
+                extra = f", pathlen {len(feng.path)} (host {len(host_eng.path)})"
             rtf_f = audio_sec / fwall
             log(f"FusedWTW streaming (k{kb}/{transfer}): {fwall*1e3:.0f} ms "
                 f"-> RTF {rtf_f:.0f}x{extra}")
-            if (kb, transfer) == (32, "chroma"):
+            if (kb, transfer) == (64, "chroma"):
                 wtw_fused_rtf = rtf_f
         if wtw_fused_rtf is not None:
             _result["wtw_fused_rtf"] = round(wtw_fused_rtf, 1)
