@@ -25,7 +25,14 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="real_time_audio_sync_tpu.eval", description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
     ap.add_argument("--ref", help="reference recording (wav)")
     ap.add_argument("--live", help="live recording (wav)")
-    ap.add_argument("--engine", default=None, help="dtw|otw|livenote|livenote_v2|livenote_v2_diff|wtw (default: all for --ref/--live, livenote_v2_diff for --corpus)")
+    ap.add_argument("--engine", default=None, help=(
+        "dtw|otw|livenote|livenote_v2|livenote_v2_diff|wtw (default: all "
+        "for --ref/--live, livenote_v2_diff for --corpus).  Caveats from "
+        "the measured corpus table (docs/ACCURACY.md): livenote_v2_diff "
+        "trades noise robustness for tacet robustness — best-in-class "
+        "through silence/dropouts but collapses (76-83%% >1 beat) under "
+        "heavy noise or detune; wtw commits windows irrevocably and "
+        "collapses on multi-minute jittered pieces (45-48%% >3 s)."))
     ap.add_argument("--corpus", help="corpus directory (test_all sweep)")
     ap.add_argument("--field-log", help="recorded field log for the BSO cross-check during --corpus")
     ap.add_argument("--score-log", help="score a recorded field log instead of aligning")

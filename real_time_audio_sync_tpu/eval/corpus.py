@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+from collections import OrderedDict
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -42,9 +43,24 @@ ENGINES = ("dtw", "otw", "livenote", "livenote_v2", "livenote_v2_diff", "wtw")
 # relay-attached TPUs one extraction is dominated by shipping the ~30 MB
 # padded wav host→device — measured 17 minutes for ONE engine over the
 # full-scale corpus without the memo.  Keyed by (path, mtime, kind, dtype);
-# bounded (the cached (12, T) chroma is ~200 KB, raw audio ~8-30 MB).
-_FEAT_CACHE: Dict[tuple, np.ndarray] = {}
+# LRU oldest-first eviction (a clear-all at capacity would thrash a sweep
+# mid-way through reusing its entries back to full re-extraction — ADVICE
+# r4 item 3), with the 8-30 MB raw-audio entries capped separately from the
+# ~200 KB chroma entries so worst-case residency stays bounded.
+_FEAT_CACHE: "OrderedDict[tuple, np.ndarray]" = OrderedDict()
 _FEAT_CACHE_MAX = 64
+_FEAT_CACHE_AUDIO_MAX = 12  # raw-audio entries only (~30 MB each worst case)
+
+
+def _cache_insert(key: tuple, value: np.ndarray) -> None:
+    kind = key[2]
+    if kind == "audio":
+        audio_keys = [k for k in _FEAT_CACHE if k[2] == "audio"]
+        for k in audio_keys[: max(0, len(audio_keys) + 1 - _FEAT_CACHE_AUDIO_MAX)]:
+            del _FEAT_CACHE[k]
+    while len(_FEAT_CACHE) >= _FEAT_CACHE_MAX:
+        _FEAT_CACHE.popitem(last=False)  # oldest-first
+    _FEAT_CACHE[key] = value
 
 
 def _cached(kind: str, path: str, dtype) -> np.ndarray:
@@ -56,18 +72,19 @@ def _cached(kind: str, path: str, dtype) -> np.ndarray:
 
     key = (os.path.abspath(path), os.path.getmtime(path), kind,
            np.dtype(dtype).name)
-    if key not in _FEAT_CACHE:
-        if len(_FEAT_CACHE) >= _FEAT_CACHE_MAX:
-            _FEAT_CACHE.clear()
-        if kind == "audio":
-            wav, fs = load_wav(path)
-            assert fs == 22050
-            _FEAT_CACHE[key] = np.asarray(wav)
-        elif kind == "chroma":
-            _FEAT_CACHE[key] = wav_to_chroma(path, dtype=dtype)
-        else:
-            _FEAT_CACHE[key] = wav_to_chroma_diff(path, dtype=dtype)
-    return _FEAT_CACHE[key]
+    if key in _FEAT_CACHE:
+        _FEAT_CACHE.move_to_end(key)  # refresh recency
+        return _FEAT_CACHE[key]
+    if kind == "audio":
+        wav, fs = load_wav(path)
+        assert fs == 22050
+        value = np.asarray(wav)
+    elif kind == "chroma":
+        value = wav_to_chroma(path, dtype=dtype)
+    else:
+        value = wav_to_chroma_diff(path, dtype=dtype)
+    _cache_insert(key, value)
+    return value
 
 
 @dataclasses.dataclass
@@ -192,13 +209,25 @@ def align_pair(
             import jax
             import jax.numpy as jnp
 
-            from real_time_audio_sync_tpu.models.dtw import dtw_device
+            from real_time_audio_sync_tpu.models.dtw import (
+                _DENSE_BYTES_PER_CELL,
+                _dense_limit_bytes,
+                dtw_auto,
+                dtw_device,
+            )
 
-            _, _, points, length = dtw_device(
-                jnp.asarray(np.asarray(live_seq, dtype)),
-                jnp.asarray(np.asarray(ref_seq, dtype)))
-            pts, ln = jax.device_get((points, length))
-            path = np.asarray(pts)[: int(ln)][::-1]
+            m, n = live_seq.shape[1], ref_seq.shape[1]
+            if m * n * _DENSE_BYTES_PER_CELL > _dense_limit_bytes():
+                # hour-scale pairs: same auto-delegation as the public DTW()
+                # surface — banded engine with widen-and-retry exactness
+                path, _, _ = dtw_auto(np.asarray(live_seq, dtype),
+                                      np.asarray(ref_seq, dtype))
+            else:
+                _, _, points, length = dtw_device(
+                    jnp.asarray(np.asarray(live_seq, dtype)),
+                    jnp.asarray(np.asarray(ref_seq, dtype)))
+                pts, ln = jax.device_get((points, length))
+                path = np.asarray(pts)[: int(ln)][::-1]
         elif mode == "fused":
             import contextlib
 

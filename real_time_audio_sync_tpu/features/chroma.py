@@ -110,26 +110,53 @@ _POOL = None
 _POOL_SIZE = 0
 
 
-def _host_pool(workers: int):
-    """Shared ThreadPoolExecutor, rebuilt only when the size changes."""
-    global _POOL, _POOL_SIZE
-    if _POOL is None or _POOL_SIZE != workers:
-        import concurrent.futures
+_POOL_LOCK = None  # created lazily (threading import kept off the hot path)
 
-        if _POOL is not None:
-            _POOL.shutdown(wait=False)
-        _POOL = concurrent.futures.ThreadPoolExecutor(
-            max_workers=workers, thread_name_prefix="rtas-hostfft")
-        _POOL_SIZE = workers
-    return _POOL
+
+def _host_pool(workers: int):
+    """Shared ThreadPoolExecutor, grown (never shrunk) under a lock.
+
+    The old pool is NOT shut down on a resize: a concurrent caller that
+    resolved it just before the swap may still submit chunks, and
+    ``shutdown`` would make those submissions raise (ADVICE r4 item 4).
+    Dropping the reference is safe — executor threads exit on their own
+    once the executor is garbage-collected and its queue drains.  Shrink
+    requests keep the larger pool (idle threads are harmless)."""
+    global _POOL, _POOL_SIZE, _POOL_LOCK
+    if _POOL_LOCK is None:
+        import threading
+
+        _POOL_LOCK = threading.Lock()
+    with _POOL_LOCK:
+        if _POOL is None or workers > _POOL_SIZE:
+            import concurrent.futures
+
+            _POOL = concurrent.futures.ThreadPoolExecutor(
+                max_workers=workers, thread_name_prefix="rtas-hostfft")
+            _POOL_SIZE = workers
+        return _POOL
 
 
 def resolve_host_workers(workers=None) -> int:
-    """Effective worker count: explicit arg > env flag > 1."""
+    """Effective worker count: explicit arg > env flag > 1.
+
+    A malformed env value falls back to 1 with a warning instead of
+    crashing every host extraction call deep in the serving path
+    (ADVICE r4 item 4)."""
     if workers is not None:
         return max(1, int(workers))
     env = os.environ.get(_WORKERS_ENV)
-    return max(1, int(env)) if env else 1
+    if not env:
+        return 1
+    try:
+        return max(1, int(env))
+    except ValueError:
+        import warnings
+
+        warnings.warn(
+            f"ignoring malformed {_WORKERS_ENV}={env!r} (expected an "
+            "integer); running single-threaded")
+        return 1
 
 
 def host_chroma_frames(frames: np.ndarray, n_fft: int = FFT_LEN, fs: int = FS,

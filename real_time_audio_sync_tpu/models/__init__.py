@@ -1,4 +1,4 @@
-from real_time_audio_sync_tpu.models.dtw import DTW  # noqa: F401
+from real_time_audio_sync_tpu.models.dtw import DTW, dtw_auto  # noqa: F401
 from real_time_audio_sync_tpu.models.livenote import LiveNote  # noqa: F401
 from real_time_audio_sync_tpu.models.livenote_v2 import LiveNoteV2  # noqa: F401
 from real_time_audio_sync_tpu.models.otw import OnlineTimeWarping  # noqa: F401

@@ -108,8 +108,16 @@ class FusedWTW(StatusPolling):
         self.debug_params = debug_params or {}
         self.k_block = int(k_block)
         self.interpret = bool(interpret)
-        if transfer_dtype not in ("float32", "int16", "chroma"):
+        if transfer_dtype not in ("auto", "float32", "int16", "chroma"):
             raise ValueError(f"unknown transfer_dtype {transfer_dtype!r}")
+        if transfer_dtype == "auto":
+            from real_time_audio_sync_tpu.parallel.transfer import (
+                resolve_transfer_mode,
+            )
+
+            transfer_dtype = resolve_transfer_mode(
+                "auto", 1, self.k_block, self.params.fft_len,
+                self.params.hop_size)
         self.transfer_dtype = transfer_dtype
 
         if isinstance(ref_recording, (str, bytes)):

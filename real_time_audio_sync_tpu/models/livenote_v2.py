@@ -5,6 +5,14 @@ A best point is appended only when strictly forward in live and non-backward
 in ref (livenote_v2.py:197-199); with ``chroma_diff=True`` the cell cost is
 the Euclidean distance between (rectified chroma-diff) feature columns
 instead of the cosine cost (livenote_v2.py:167-170).
+
+Engine selection caveat (measured, docs/ACCURACY.md): ``chroma_diff=True``
+trades noise robustness for tacet robustness — it is best-in-class through
+silence/dropout passages (onset-sensitive cost ignores sustain) but
+collapses under heavy broadband noise or detune (76-83% of beats >1 beat
+off on the adversarial corpus, vs ~0% for the cosine-cost engines).  Use
+the default cosine cost for noisy capture chains; see the "which engine
+when" matrix in README.md.
 """
 
 from __future__ import annotations

@@ -34,13 +34,32 @@ from real_time_audio_sync_tpu.ops.wavefront import WTW_SPEC, backtrack, wavefron
 from real_time_audio_sync_tpu.utils.wavio import load_wav
 
 
-def _check_ref_window(m: int, params: WTWParams) -> None:
+class WTWLongReferenceWarning(UserWarning):
+    """WTW pointed at a reference far beyond its validated regime."""
+
+
+# The reference only ever field-validated WTW on a ~35 s excerpt
+# (wtw_live.py:108-109); warn at ~2x that.  The full-scale corpus measured
+# WHY this matters: 45-48% of beats land >3 s off on multi-minute jittered
+# pieces (docs/ACCURACY.md) because WTW commits each w-frame window subpath
+# irrevocably on a fixed hop (wtw.py:110-128) — a bad early window cannot
+# be revised.  The online band engines (OTW/LiveNote/LiveNoteV2) hold
+# <=1.11% at that scale and are the right tool there.
+_WTW_VALIDATED_REF_S = 70.0
+
+
+def _check_ref_window(m: int, params: WTWParams, fs: int = 22050) -> None:
     """Reject a reference shorter than one DTW window up front.  The
     reference implementation would silently run a degenerate short-sliced
     window (numpy clamps slices, wtw.py:100-104); the fixed-shape TPU
     window kernels slice exactly ``w`` columns, so a too-short reference
     is a hard error with guidance instead of a deep jit-time crash
-    (docs/PARITY.md deviation: graceful-rejection family)."""
+    (docs/PARITY.md deviation: graceful-rejection family).
+
+    Also warns loudly (:class:`WTWLongReferenceWarning`, suppressible via
+    ``warnings.filterwarnings``) when the reference is far longer than the
+    regime WTW was ever validated in — the measured multi-minute failure
+    mode above."""
     w = params.dtw_win_size // params.hop_size
     if m < w:
         raise ValueError(
@@ -48,6 +67,18 @@ def _check_ref_window(m: int, params: WTWParams) -> None:
             f"window of {w} frames (dtw_win_size={params.dtw_win_size} "
             f"samples / hop_size={params.hop_size}); use a longer "
             f"reference or a smaller dtw_win_size")
+    ref_s = m * params.hop_size / fs
+    if ref_s > _WTW_VALIDATED_REF_S:
+        import warnings
+
+        warnings.warn(
+            f"WTW reference is {ref_s:.0f} s — far beyond the ~35 s regime "
+            "the algorithm was validated in.  WTW commits window subpaths "
+            "irrevocably and measured 45-48% of beats >3 s off on "
+            "multi-minute jittered pieces (docs/ACCURACY.md); prefer the "
+            "online band engines (OnlineTimeWarping/LiveNote/LiveNoteV2) "
+            "at this scale, or suppress this warning if the tempo is "
+            "known-steady.", WTWLongReferenceWarning, stacklevel=3)
 
 
 class SampleFIFO:

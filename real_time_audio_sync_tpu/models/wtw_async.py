@@ -386,8 +386,19 @@ class AsyncWTW(StatusPolling):
         # chopin pair) — not bit-identical either way, which can flip
         # knife-edge DP ties — opt-in, path equality on real audio is
         # tested empirically like int16.
-        if transfer_dtype not in ("float32", "int16", "chroma"):
+        # "auto": probe-based crossover choice (parallel/transfer.py) — the
+        # serving layers' default; solo engines keep the exact f32 default
+        # but accept it for symmetry.
+        if transfer_dtype not in ("auto", "float32", "int16", "chroma"):
             raise ValueError(f"unknown transfer_dtype {transfer_dtype!r}")
+        if transfer_dtype == "auto":
+            from real_time_audio_sync_tpu.parallel.transfer import (
+                resolve_transfer_mode,
+            )
+
+            transfer_dtype = resolve_transfer_mode(
+                "auto", 1, self.k_block, self.params.fft_len,
+                self.params.hop_size)
         self.transfer_dtype = transfer_dtype
         # f32 is the production dtype; f64 is for CPU parity tests where the
         # comparison must be immune to batch-shape-dependent f32 accumulation

@@ -120,29 +120,63 @@ def _banded_backtrack(codes, offs, n: int):
     """Trace the path from (M−1, N−1) through the band-relative codes.
 
     Same output contract as ops/wavefront.backtrack: (points (M+N-1, 2)
-    int32 end → origin with frozen repeats after the origin, length)."""
+    int32 end → origin with frozen repeats after the origin, length), plus
+    ``edge_touched``: True when any visited cell sat on (or past) a band
+    edge that is *interior* to the matrix — the signal that the band was too
+    narrow and the result may differ from the dense optimum.  Coordinates
+    are clamped at 0 so a too-narrow band yields a terminating (degraded)
+    path instead of negative-coordinate garbage (ADVICE r4 item 2)."""
     m, w = codes.shape
     max_len = m + n - 1
 
     def step(carry, _):
-        i, j, done = carry
-        b = jnp.clip(j - offs[i], 0, w - 1)
+        i, j, done, edge = carry
+        b_raw = j - offs[i]
+        b = jnp.clip(b_raw, 0, w - 1)
+        # touching the band's left edge while off > 0 (a real left neighbor
+        # exists outside the band) or its right edge while off + w < n means
+        # the banded path was constrained where the dense one wasn't
+        interior_left = (b_raw <= 0) & (offs[i] > 0)
+        interior_right = (b_raw >= w - 1) & (offs[i] + w < n)
+        edge = edge | (~done & (interior_left | interior_right))
         code = codes[i, b].astype(jnp.int32)
         emitted = jnp.stack([i, j])
         now_done = done | ((i == 0) & (j == 0))
         di = jnp.where(code == 0, 0, -1)  # left keeps i
         dj = jnp.where(code == 1, 0, -1)  # up keeps j
-        i2 = jnp.where(now_done, i, i + di)
-        j2 = jnp.where(now_done, j, j + dj)
-        return (i2, j2, now_done), (emitted, done)
+        i2 = jnp.maximum(jnp.where(now_done, i, i + di), 0)
+        j2 = jnp.maximum(jnp.where(now_done, j, j + dj), 0)
+        return (i2, j2, now_done, edge), (emitted, done)
 
-    init = (jnp.int32(m - 1), jnp.int32(n - 1), jnp.bool_(False))
-    _, (points, done_before) = lax.scan(step, init, None, length=max_len)
+    init = (jnp.int32(m - 1), jnp.int32(n - 1), jnp.bool_(False),
+            jnp.bool_(False))
+    (_, _, _, edge_touched), (points, done_before) = lax.scan(
+        step, init, None, length=max_len)
     length = max_len - jnp.sum(done_before)
-    return points, length
+    return points, length, edge_touched
 
 
-def dtw_banded(seq_a, seq_b, band: int = 512):
+def _validate_path(path: np.ndarray, m: int, n: int) -> None:
+    """Host-side sanity check: monotone steps in {(1,0),(0,1),(1,1)},
+    origin → corner.  A violation means the band was too narrow for even a
+    degraded-but-valid path (ADVICE r4 item 2) — raise with guidance rather
+    than return garbage."""
+    ok = (
+        len(path) >= 1
+        and tuple(path[0]) == (0, 0)
+        and tuple(path[-1]) == (m - 1, n - 1)
+    )
+    if ok and len(path) > 1:
+        d = np.diff(path, axis=0)
+        ok = bool(np.all((d >= 0) & (d <= 1)) and np.all(d.sum(axis=1) >= 1))
+    if not ok:
+        raise ValueError(
+            "banded DTW backtrack produced an invalid path — the band is too "
+            "narrow for this pair; widen `band` (or use dtw_auto, which "
+            "widens and retries automatically)")
+
+
+def dtw_banded(seq_a, seq_b, band: int = 512, *, return_edge_touch=False):
     """Banded offline DTW: ``(path (L, 2) origin → end, final_cost)``.
 
     ``path`` matches the dense :func:`~real_time_audio_sync_tpu.models.dtw.
@@ -150,6 +184,13 @@ def dtw_banded(seq_a, seq_b, band: int = 512):
     reference frames of the resampled main diagonal; O(M·band) memory makes
     hour-long pairs feasible on one chip.  ``final_cost`` is
     ``acc[M−1, N−1]`` (the reference's returned ``cost[-1, -1]`` regime).
+
+    With ``return_edge_touch=True`` a third value is returned: True when the
+    backtracked path touched a band edge interior to the matrix — i.e. the
+    band constrained the path and a wider band might find a better one
+    (the widen-and-retry signal ``dtw_auto`` uses for its exactness loop).
+    The returned path is always validated monotone origin → corner; a band
+    too narrow to produce even that raises ValueError.
     """
     seq_a = jnp.asarray(seq_a)
     seq_b = jnp.asarray(seq_b)
@@ -159,8 +200,11 @@ def dtw_banded(seq_a, seq_b, band: int = 512):
     if w < 1:
         raise ValueError("empty reference")
     last_row, offs, codes = _banded_dp(seq_a, seq_b, w)
-    points, length = _banded_backtrack(codes, offs, n)
+    points, length, edge = _banded_backtrack(codes, offs, n)
     final = last_row[n - 1 - offs[m - 1]]
-    pts, ln, fin = jax.device_get((points, length, final))
+    pts, ln, fin, edge = jax.device_get((points, length, final, edge))
     path = np.asarray(pts)[: int(ln)][::-1]
+    _validate_path(path, m, n)
+    if return_edge_touch:
+        return path, float(fin), bool(edge)
     return path, float(fin)

@@ -98,7 +98,12 @@ def wtw_geometry(w: int, hop_frames: int, k_block: int):
     Bounds: at most one window becomes due per appended column (wtw_async
     invariant), so ``n_w = 1 + ceil(k_block/hop_frames)`` windows per
     launch; live_ptr advances exactly ``hop_frames`` per window; ref_ptr at
-    most ``w−1`` per window (the last committed point's ref coordinate).
+    most ``max(w−1, hop_frames)`` per window — normally the last committed
+    point's ref coordinate (≤ w−1), but the diagonal fallback (mirroring
+    wtw.py:127-128) advances ref_ptr by ``hop_frames``, which exceeds w−1
+    when WTWParams sets dtw_hop_size ≥ dtw_win_size (ADVICE r4 item 1: the
+    DMA window must cover that advance or the in-kernel cost matmul reads
+    past the r_win scratch).
     """
     w_pad = _round_up(w, _SUBLANES)
     n_w = 1 + -(-k_block // hop_frames)
@@ -108,7 +113,7 @@ def wtw_geometry(w: int, hop_frames: int, k_block: int):
     # the cost matmul slices a fixed 128 ref rows (clean lane tiling; rows
     # ≥ w are masked), so the DMA window must cover 128 rows past the
     # largest in-launch ref_ptr
-    r_win = _round_up(_LANES + n_w * (w - 1) + 16, _SUBLANES)
+    r_win = _round_up(_LANES + n_w * max(w - 1, hop_frames) + 16, _SUBLANES)
     maxpts = 2 * w - 1
     d_pad = n_w * maxpts + 8
     return w_pad, l_win, l_pad, r_win, d_pad, maxpts

@@ -49,6 +49,7 @@ from real_time_audio_sync_tpu.parallel.serving import (
     batch_axis_sharding_put,
     require_batch_divisible,
 )
+from real_time_audio_sync_tpu.parallel.transfer import resolve_transfer_mode
 from real_time_audio_sync_tpu.utils.wavio import load_wav
 
 
@@ -72,7 +73,7 @@ class MultiStreamWTW(BatchedStatusPolling):
 
     def __init__(self, refs: Sequence, params, k_block: int = 8,
                  dtype=np.float32, mesh: Optional[Mesh] = None,
-                 transfer_dtype: str = "float32",
+                 transfer_dtype: str = "auto",
                  ref_chromas: Optional[Sequence[np.ndarray]] = None):
         self.params = WTWParams.from_any(params)
         self.k_block = int(k_block)
@@ -80,10 +81,14 @@ class MultiStreamWTW(BatchedStatusPolling):
         # throughput (B x span per block); "chroma" ships host-extracted
         # 12-dim columns instead of raw samples (~96x fewer bytes — the
         # bandwidth ceiling remover on tunneled links); see
-        # AsyncWTW.transfer_dtype for the exactness contracts
-        if transfer_dtype not in ("float32", "int16", "chroma"):
+        # AsyncWTW.transfer_dtype for the exactness contracts.  "auto"
+        # (default) probes link bandwidth + host-FFT throughput once per
+        # process and picks per the measured crossover (parallel/transfer.py)
+        if transfer_dtype not in ("auto", "float32", "int16", "chroma"):
             raise ValueError(f"unknown transfer_dtype {transfer_dtype!r}")
-        self.transfer_dtype = transfer_dtype
+        self.transfer_dtype = resolve_transfer_mode(
+            transfer_dtype, len(refs), self.k_block,
+            self.params.fft_len, self.params.hop_size)
         self.dtype = np.dtype(dtype)
         if self.dtype == np.float64 and not jax.config.jax_enable_x64:
             raise ValueError("dtype=float64 requires jax_enable_x64")
@@ -396,7 +401,7 @@ class FusedMultiStreamWTW(BatchedStatusPolling):
     """
 
     def __init__(self, refs: Sequence, params, k_block: int = 8,
-                 mesh: Optional[Mesh] = None, transfer_dtype: str = "float32",
+                 mesh: Optional[Mesh] = None, transfer_dtype: str = "auto",
                  ref_chromas: Optional[Sequence[np.ndarray]] = None,
                  interpret: bool = False):
         from real_time_audio_sync_tpu.models.fused_streaming import _DELTA_STACK
@@ -415,9 +420,12 @@ class FusedMultiStreamWTW(BatchedStatusPolling):
         self.params = WTWParams.from_any(params)
         self.k_block = int(k_block)
         self.interpret = bool(interpret)
-        if transfer_dtype not in ("float32", "int16", "chroma"):
+        # "auto" (default): probe-based crossover choice, parallel/transfer.py
+        if transfer_dtype not in ("auto", "float32", "int16", "chroma"):
             raise ValueError(f"unknown transfer_dtype {transfer_dtype!r}")
-        self.transfer_dtype = transfer_dtype
+        self.transfer_dtype = resolve_transfer_mode(
+            transfer_dtype, len(refs), self.k_block,
+            self.params.fft_len, self.params.hop_size)
         self.dtype = np.dtype(np.float32)  # the kernel is f32-only
         self._delta_stack = _DELTA_STACK
 

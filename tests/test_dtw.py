@@ -242,3 +242,107 @@ def test_banded_dtw_path_shape_properties():
     d = np.diff(path, axis=0)
     assert (d >= 0).all() and (d.sum(axis=1) > 0).all()
     assert np.isfinite(cost)
+
+
+# ---------------------------------------------------------------------------
+# auto-routing: DTW() delegates to the banded engine at scale (r4 verdict #3)
+# ---------------------------------------------------------------------------
+
+
+def _unit_cols(rng, m):
+    x = rng.random((12, m)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=0)
+
+
+def test_dtw_auto_edge_touch_widen_and_retry():
+    """A band too narrow for an adversarial pair touches the band edge;
+    dtw_auto must widen until the dense optimum is recovered.  The live
+    sequence dwells 5x on the reference's opening (a smooth monotone warp
+    far off the resampled diagonal), with per-column noise so the optimum
+    is unique (tie floods would make path equality ill-posed)."""
+    from real_time_audio_sync_tpu.models.dtw import dtw_auto
+
+    rng = np.random.default_rng(3)
+    ref = _unit_cols(rng, 180)
+    warp = np.concatenate([np.repeat(np.arange(30), 5), np.arange(30, 180)])
+    live = ref[:, warp] + rng.normal(0, 1e-3, (12, len(warp))).astype(np.float32)
+    live /= np.linalg.norm(live, axis=0)
+    _, _, dense_path = DTW(live, ref)
+    path, _, band_used = dtw_auto(live, ref, band=16)
+    assert band_used > 16, "adversarial pair should have forced a widen"
+    np.testing.assert_array_equal(dense_path, path)
+
+
+def test_dtw_auto_no_widen_when_band_suffices(chopin_pair):
+    from real_time_audio_sync_tpu.features.chroma import wav_to_chroma
+    from real_time_audio_sync_tpu.models.dtw import dtw_auto
+
+    ref_wav, live_wav = chopin_pair
+    ref = np.asarray(wav_to_chroma(ref_wav)).astype(np.float32)
+    live = np.asarray(wav_to_chroma(live_wav)).astype(np.float32)
+    _, _, dense_path = DTW(live, ref)
+    path, _, band_used = dtw_auto(live, ref)
+    # initial band from the length ratio (clamped to the reference length
+    # for the ~35 s excerpt pair), no retry
+    assert band_used == min(512, ref.shape[1])
+    np.testing.assert_array_equal(dense_path, path)
+
+
+def test_dtw_public_surface_auto_delegates(monkeypatch):
+    """Above the dense-bytes budget the public DTW() routes to the banded
+    engine instead of allocating O(M*N): cost/acc come back None, the path
+    is the dense optimum (verified against an in-budget dense run)."""
+    import warnings
+
+    rng = np.random.default_rng(7)
+    a, b = _unit_cols(rng, 200), _unit_cols(rng, 220)
+    _, _, dense_path = DTW(a, b)
+
+    monkeypatch.setenv("RTAS_DTW_DENSE_LIMIT_BYTES", "10000")  # ~770 cells
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cost, acc, path = DTW(a, b)
+    assert cost is None and acc is None
+    assert any("delegating" in str(x.message) for x in w)
+    np.testing.assert_array_equal(dense_path, path)
+
+    # explicit kwarg overrides the env
+    cost2, acc2, path2 = DTW(a, b, max_dense_bytes=1 << 40)
+    assert cost2 is not None and acc2 is not None
+    np.testing.assert_array_equal(dense_path, path2)
+
+
+def test_align_pair_dtw_routes_banded_at_scale(chopin_pair, monkeypatch):
+    from real_time_audio_sync_tpu.eval.corpus import align_pair
+
+    ref_wav, live_wav = chopin_pair
+    want = align_pair(ref_wav, live_wav, "dtw")
+    monkeypatch.setenv("RTAS_DTW_DENSE_LIMIT_BYTES", "10000")
+    got = align_pair(ref_wav, live_wav, "dtw")
+    np.testing.assert_array_equal(want.path, got.path)
+    assert got.score.pct_off_3s == want.score.pct_off_3s
+
+
+def test_banded_dtw_narrow_band_invalid_path_raises_or_valid():
+    """ADVICE r4 item 2: a pathologically narrow band must never return
+    negative-coordinate garbage — either a valid monotone path or a loud
+    'widen band' ValueError."""
+    import pytest
+
+    from real_time_audio_sync_tpu.ops.banded_dtw import dtw_banded
+
+    rng = np.random.default_rng(11)
+    ref = _unit_cols(rng, 400)
+    live = np.concatenate([np.repeat(ref[:, :1], 200, axis=1),
+                           ref[:, :200]], axis=1)
+    try:
+        path, cost, edge = dtw_banded(live, ref, band=8,
+                                      return_edge_touch=True)
+    except ValueError as e:
+        assert "widen" in str(e)
+        return
+    assert edge, "a band-8 run on this pair must report an edge touch"
+    assert tuple(path[0]) == (0, 0)
+    assert tuple(path[-1]) == (live.shape[1] - 1, ref.shape[1] - 1)
+    d = np.diff(path, axis=0)
+    assert (d >= 0).all() and (path >= 0).all()

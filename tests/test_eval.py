@@ -106,3 +106,61 @@ def test_scorer_zero_beat_truthiness_quirk():
     # both points at beat 0 → all skipped → no scorable points
     with pytest.raises(ZeroDivisionError):
         scorer.score([(sample, sample)] if get_beat(sample, times, beats) == 0.0 else [])
+
+
+def test_feat_cache_lru_eviction(monkeypatch):
+    """ADVICE r4 item 3: the extraction memo evicts oldest-first instead of
+    clearing wholesale, and raw-audio entries have their own (smaller) cap."""
+    from real_time_audio_sync_tpu.eval import corpus as C
+
+    monkeypatch.setattr(C, "_FEAT_CACHE", type(C._FEAT_CACHE)())
+    monkeypatch.setattr(C, "_FEAT_CACHE_MAX", 4)
+    monkeypatch.setattr(C, "_FEAT_CACHE_AUDIO_MAX", 2)
+
+    def key(i, kind="chroma"):
+        return (f"/x/{i}.wav", 0.0, kind, "float32")
+
+    for i in range(4):
+        C._cache_insert(key(i), np.zeros(1))
+    assert len(C._FEAT_CACHE) == 4
+    # a hit refreshes recency: key(0) must survive the next eviction
+    C._FEAT_CACHE.move_to_end(key(0))
+    C._cache_insert(key(9), np.zeros(1))
+    assert key(0) in C._FEAT_CACHE and key(1) not in C._FEAT_CACHE
+
+    # raw-audio entries capped separately at 2
+    for i in range(3):
+        C._cache_insert(key(10 + i, "audio"), np.zeros(1))
+    audio = [k for k in C._FEAT_CACHE if k[2] == "audio"]
+    assert len(audio) == 2
+    assert key(12, "audio") in C._FEAT_CACHE  # newest kept
+
+
+def test_resolve_host_workers_malformed_env(monkeypatch):
+    """ADVICE r4 item 4: a malformed RTAS_HOST_FFT_WORKERS warns and falls
+    back to 1 instead of crashing every extraction call."""
+    import warnings
+
+    from real_time_audio_sync_tpu.features import chroma as C
+
+    monkeypatch.setenv("RTAS_HOST_FFT_WORKERS", "two")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert C.resolve_host_workers() == 1
+    assert any("malformed" in str(x.message) for x in w)
+    monkeypatch.setenv("RTAS_HOST_FFT_WORKERS", "3")
+    assert C.resolve_host_workers() == 3
+    assert C.resolve_host_workers(workers=2) == 2
+
+
+def test_host_pool_grows_never_shrinks():
+    from real_time_audio_sync_tpu.features import chroma as C
+
+    p2 = C._host_pool(2)
+    assert C._POOL_SIZE >= 2
+    p1 = C._host_pool(1)  # shrink request keeps the larger pool
+    assert p1 is p2
+    p4 = C._host_pool(4)
+    assert p4 is not p2 and C._POOL_SIZE == 4
+    # the old pool must still accept work (no shutdown on resize)
+    assert p2.submit(lambda: 42).result() == 42

@@ -196,3 +196,30 @@ def test_fused_multi_wtw_on_mesh():
     ms.flush()
     for p in ms.paths():
         assert p == solo.path
+
+
+def test_fused_wtw_hop_exceeds_window():
+    """ADVICE r4 item 1: dtw_hop_size >= dtw_win_size makes the diagonal
+    fallback advance ref_ptr by hop_frames > w-1 per window; the r_win DMA
+    scratch must cover that advance (wtw_geometry sizes it with
+    max(w-1, hop_frames)) or the in-kernel cost matmul silently reads
+    garbage.  Paths must stay bit-equal to the host engine."""
+    wp = {"fft_len": 4096, "hop_size": 2048,
+          "dtw_win_size": 4096 * 4, "dtw_hop_size": 2048 * 10}
+    assert wp["dtw_hop_size"] // 2048 > wp["dtw_win_size"] // 2048 - 1
+    ref, live = _synth(seed=5, ref_s=24, live_s=16)
+    chunks = _aligned_chunks(live)
+    host = _run(WTW(ref, wp), chunks)
+    fused = _run(FusedWTW(ref, wp, k_block=8, interpret=True), chunks)
+    assert len(host.path) > 0
+    assert fused.path == host.path
+    assert fused.pointers == (host.chroma_ptr, host.live_ptr, host.ref_ptr)
+
+
+def test_wtw_geometry_covers_hop_advance():
+    from real_time_audio_sync_tpu.ops.pallas_wtw import wtw_geometry
+
+    w, hop_frames, k_block = 8, 20, 8
+    _, _, _, r_win, _, _ = wtw_geometry(w, hop_frames, k_block)
+    n_w = 1 + -(-k_block // hop_frames)
+    assert r_win >= 128 + n_w * hop_frames + 16

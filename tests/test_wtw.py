@@ -319,3 +319,27 @@ def test_chroma_from_samples_rejects_non_mono():
         chroma_from_samples(np.zeros((12, 380), np.float32))
     with pytest.raises(TypeError, match="1-D mono samples"):
         chroma_from_samples(np.zeros((22050, 2), np.float32))
+
+
+def test_wtw_long_reference_warns():
+    """r4 verdict #7: WTW pointed far beyond its ~35 s validated regime must
+    warn loudly (the measured multi-minute collapse, docs/ACCURACY.md); the
+    excerpt-scale regime must stay silent."""
+    import warnings
+
+    from real_time_audio_sync_tpu.models.wtw import (
+        WTW,
+        WTWLongReferenceWarning,
+    )
+
+    rng = np.random.default_rng(0)
+    params = {"fft_len": 4096, "hop_size": 2048,
+              "dtw_win_size": 4096 * 10, "dtw_hop_size": 2048 * 10}
+    long_ref = rng.standard_normal(22050 * 120).astype(np.float32) * 0.1
+    with pytest.warns(WTWLongReferenceWarning, match="35 s regime"):
+        WTW(long_ref, params)
+
+    short_ref = rng.standard_normal(22050 * 35).astype(np.float32) * 0.1
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", WTWLongReferenceWarning)
+        WTW(short_ref, params)

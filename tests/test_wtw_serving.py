@@ -387,3 +387,95 @@ def test_precomputed_ref_chromas_match_extraction(chopin_pair):
     with pytest.raises(ValueError, match="entries for"):
         MultiStreamWTW([rub, rub, rub], WTW_PARAMS,
                        ref_chromas=[chroma, chroma])
+
+
+# ---------------------------------------------------------------------------
+# adaptive transfer-mode selection (parallel/transfer.py — r4 verdict #4)
+# ---------------------------------------------------------------------------
+
+
+def test_choose_transfer_mode_crossovers():
+    """Mocked probe values must hit all three choices: exact f32 when the
+    rtt dominates (fast link), int16 when the link is the constraint but
+    host FFT is slower still, chroma when the link is slow (the tunneled-
+    relay regime where it measured 5.2x at B=256)."""
+    from real_time_audio_sync_tpu.parallel.transfer import (
+        LinkProbe,
+        choose_transfer_mode,
+    )
+
+    kw = dict(k_block=8, fft_len=4096, hop_size=2048)
+    # direct-attach link at low stream count: the rtt dominates the span
+    # bytes, every mode ties, exactness is free
+    fast = LinkProbe(bytes_per_s=10e9, rtt_s=50e-6)
+    assert choose_transfer_mode(2, **kw, link=fast, host_fft_us=22.0) == "float32"
+    # ... at B=64 the 4.7 MB f32 span dominates even 10 GB/s: halving wins
+    assert choose_transfer_mode(64, **kw, link=fast, host_fft_us=22.0) == "int16"
+
+    # mid link (500 MB/s), busy 1-core host (50 us/frame): halving the span
+    # bytes beats paying host FFT for 256 streams
+    mid = LinkProbe(bytes_per_s=500e6, rtt_s=1e-3)
+    assert choose_transfer_mode(256, **kw, link=mid, host_fft_us=50.0) == "int16"
+
+    # tunneled relay (5 MB/s): chroma's ~96x byte reduction wins even with
+    # single-core host extraction
+    relay = LinkProbe(bytes_per_s=5e6, rtt_s=27e-3)
+    assert choose_transfer_mode(256, **kw, link=relay, host_fft_us=22.0) == "chroma"
+
+    # worker scaling shifts the int16/chroma crossover: the same mid link
+    # with 16 workers makes chroma cheaper than the halved span
+    assert choose_transfer_mode(256, **kw, link=mid, host_fft_us=50.0,
+                                workers=16) == "chroma"
+
+
+def test_resolve_transfer_mode_passthrough_and_env(monkeypatch):
+    from real_time_audio_sync_tpu.parallel import transfer as T
+
+    # explicit modes bypass probing entirely
+    for m in ("float32", "int16", "chroma"):
+        assert T.resolve_transfer_mode(m, 8, 8, 4096, 2048) == m
+
+    # env force short-circuits the probes
+    monkeypatch.setenv("RTAS_TRANSFER_MODE", "int16")
+    assert T.resolve_transfer_mode("auto", 8, 8, 4096, 2048) == "int16"
+    monkeypatch.setenv("RTAS_TRANSFER_MODE", "bogus")
+    with pytest.raises(ValueError, match="RTAS_TRANSFER_MODE"):
+        T.resolve_transfer_mode("auto", 8, 8, 4096, 2048)
+
+
+def test_resolve_transfer_mode_auto_uses_cached_probes(monkeypatch):
+    from real_time_audio_sync_tpu.parallel import transfer as T
+
+    monkeypatch.delenv("RTAS_TRANSFER_MODE", raising=False)
+    monkeypatch.setattr(T, "_PROBE_CACHE", {
+        "link": T.LinkProbe(bytes_per_s=5e6, rtt_s=27e-3),
+        "host_us": 22.0,
+    })
+    assert T.resolve_transfer_mode("auto", 256, 8, 4096, 2048) == "chroma"
+    monkeypatch.setattr(T, "_PROBE_CACHE", {
+        "link": T.LinkProbe(bytes_per_s=10e9, rtt_s=50e-6),
+        "host_us": 22.0,
+    })
+    assert T.resolve_transfer_mode("auto", 2, 8, 4096, 2048) == "float32"
+
+
+def test_serving_layers_default_auto(monkeypatch):
+    """Construction with the default transfer_dtype resolves 'auto' to a
+    concrete mode via the (mocked) probes and stores the resolved value."""
+    from real_time_audio_sync_tpu.parallel import transfer as T
+
+    monkeypatch.delenv("RTAS_TRANSFER_MODE", raising=False)
+    monkeypatch.setattr(T, "_PROBE_CACHE", {
+        "link": T.LinkProbe(bytes_per_s=5e6, rtt_s=27e-3),
+        "host_us": 22.0,
+    })
+    rng = np.random.default_rng(0)
+    ref = rng.standard_normal(22050 * 10).astype(np.float32) * 0.1
+    eng = MultiStreamWTW([ref] * 16, WTW_PARAMS, k_block=8)
+    assert eng.transfer_dtype == "chroma"
+    monkeypatch.setattr(T, "_PROBE_CACHE", {
+        "link": T.LinkProbe(bytes_per_s=10e9, rtt_s=50e-6),
+        "host_us": 22.0,
+    })
+    eng2 = MultiStreamWTW([ref] * 2, WTW_PARAMS, k_block=8)
+    assert eng2.transfer_dtype == "float32"
