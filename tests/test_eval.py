@@ -156,11 +156,15 @@ def test_resolve_host_workers_malformed_env(monkeypatch):
 def test_host_pool_grows_never_shrinks():
     from real_time_audio_sync_tpu.features import chroma as C
 
-    p2 = C._host_pool(2)
-    assert C._POOL_SIZE >= 2
-    p1 = C._host_pool(1)  # shrink request keeps the larger pool
-    assert p1 is p2
-    p4 = C._host_pool(4)
-    assert p4 is not p2 and C._POOL_SIZE == 4
+    # relative to whatever size earlier tests grew the shared pool to —
+    # the pool is process-global and never shrinks, so absolute sizes
+    # would make this test order-dependent
+    base = max(2, C._POOL_SIZE)
+    p_base = C._host_pool(base)
+    assert C._POOL_SIZE == base
+    p_shrink = C._host_pool(1)  # shrink request keeps the larger pool
+    assert p_shrink is p_base
+    p_grown = C._host_pool(base + 2)
+    assert p_grown is not p_base and C._POOL_SIZE == base + 2
     # the old pool must still accept work (no shutdown on resize)
-    assert p2.submit(lambda: 42).result() == 42
+    assert p_base.submit(lambda: 42).result() == 42
