@@ -160,9 +160,14 @@ class FusedMultiStreamFollower(BatchedStatusPolling):
     ONE launch per hop block for the whole batch, O(c²) banded VMEM state
     per stream instead of the XLA engine's dense (2N, N) acc matrix
     (otw_eran.py:23-27; SURVEY.md §7 hard part 5).  This is the serving
-    configuration that scales to hundreds of real-time streams per chip:
-    at B=256, N≈1900 the dense layout needs ~14 GB while the banded layout
-    needs ~0.5 GB (dominated by the per-stream live-feature buffer).
+    configuration that scales to a thousand real-time streams per chip
+    (measured N=1900: B=256 → 69x RT/stream, B=1024 → 18x RT/stream,
+    aggregate ≈18,000x — docs/SERVING.md).  The default kernel is the
+    windowed-state variant (sliding live window in VMEM, ref streamed
+    from HBM, committed points returned as per-launch delta rows), which
+    keeps per-dispatch device time independent of the reference length;
+    ``long_ref=False`` selects the whole-buffer layout instead (only
+    competitive at small B·N, and VMEM-bound above N≈3800 at B=256).
 
     ``ref``: one shared reference (np.ndarray (F, N)) followed by all
     ``n_streams`` streams — the common one-concert-many-listeners case, ref
@@ -242,18 +247,24 @@ class FusedMultiStreamFollower(BatchedStatusPolling):
         self._k_pad = _round_up(self.k_block, _SUBLANES)
         self._f_pad = _round_up(f, _SUBLANES)
 
-        # long-reference serving (ops/pallas_otw.py Drivers 2b + batched):
-        # hour-scale references at serving batch sizes — per-stream VMEM is
-        # the band window + a sliding live window, the ref stays in HBM and
-        # each grid step DMAs its own stream's slice, and committed points
-        # come back in per-launch delta rows accumulated host-side
-        from real_time_audio_sync_tpu.models.fused_streaming import (
-            _DELTA_STACK,
-            _LONG_REF_THRESHOLD,
-        )
+        # windowed-state serving (ops/pallas_otw.py Drivers 2b + batched):
+        # per-stream VMEM traffic is the band window + a sliding live
+        # window, the ref stays in HBM and each grid step DMAs its own
+        # stream's slice, and committed points come back in per-launch
+        # delta rows accumulated host-side.  This is the DEFAULT for the
+        # multi-stream follower at every scale (round-5 measurement,
+        # docs/SERVING.md): the whole-buffer layout streams each stream's
+        # entire O(N) live/path blocks through VMEM on every grid step, so
+        # its per-dispatch wall grows as B·N — at B=256, N=1900 it measured
+        # 4.9x RT/stream vs the windowed kernel's 69x, and at N≈3800,
+        # B=256 it stops compiling outright (>16 MB VMEM stack).  The
+        # whole-buffer kernel remains available via ``long_ref=False`` for
+        # the small-batch/short-ref corner it was built for (committed
+        # paths are bit-equal either way — tested).
+        from real_time_audio_sync_tpu.models.fused_streaming import _DELTA_STACK
         from real_time_audio_sync_tpu.ops.pallas_otw import _long_geometry
 
-        self.long_ref = bool(n_max >= _LONG_REF_THRESHOLD if long_ref is None else long_ref)
+        self.long_ref = True if long_ref is None else bool(long_ref)
         self._delta_stack = _DELTA_STACK
 
         if self.long_ref:

@@ -231,6 +231,33 @@ def test_fused_multistream_matches_solo_mixed_refs():
         assert tuple(fms.last_points[i]) == (len(p), *p[-1])
 
 
+def test_fused_multistream_default_is_windowed_kernel():
+    """The serving default is the windowed-state kernel at EVERY scale
+    (round-5 measurement: the whole-buffer layout's per-dispatch device
+    time grows as B·N — 4.9x vs 69x RT/stream at B=256, N=1900 — and it
+    stops compiling above N≈3800 at B=256).  Committed paths must be
+    bit-equal between the two kernels."""
+    from real_time_audio_sync_tpu.parallel import FusedMultiStreamFollower
+
+    rng = np.random.default_rng(33)
+    ref, live = _make_pair(rng, n_ref=40, stretch=1.1)
+
+    def run(**kw):
+        fms = FusedMultiStreamFollower(ref, FMS_PARAMS, n_streams=2,
+                                       k_block=8, interpret=True, **kw)
+        for t in range(live.shape[1]):
+            fms.feed(np.repeat(live[None, :, t], 2, axis=0))
+        fms.flush()
+        return fms, fms.paths()
+
+    default_fms, default_paths = run()
+    assert default_fms.long_ref  # windowed-state kernel engaged by default
+    whole_fms, whole_paths = run(long_ref=False)
+    assert not whole_fms.long_ref
+    for pd, pw in zip(default_paths, whole_paths):
+        np.testing.assert_array_equal(pd, pw)
+
+
 def test_fused_multistream_shared_ref_skewed_feeds():
     """Shared-reference mode with a half-rate stream: committed paths are
     feed-skew independent and equal to the solo engine's."""
