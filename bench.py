@@ -845,6 +845,34 @@ def main() -> int:
             f"{wceil/max(len(payloads),1)*1e3:.1f} ms/dispatch, paths match {okc})")
         _result["wtw_b64_per_stream"] = round(audio_sec / wceil, 1)
 
+        # chroma-transfer capacity at production batch sizes: end-to-end
+        # (host FFT + dispatch + kernel), medians of 2, stream-0 path
+        # checked against the B=64 run above.  Host-FFT-bound on this
+        # 1-core container — RTAS_HOST_FFT_WORKERS scales the extraction
+        # floor on real serving hosts (docs/SERVING.md workers note).
+        for Bw in (128, 256):
+
+            def run_fwtw_bw():
+                ms = FusedMultiStreamWTW([REF_WAV] * Bw, wtw_params,
+                                         k_block=32, transfer_dtype="chroma")
+                t0 = time.perf_counter()
+                for ch in c32:
+                    ms.insert([ch] * Bw)
+                ms.flush()
+                return time.perf_counter() - t0, ms
+
+            run_fwtw_bw()  # compile
+            wws, msw = [], None
+            for _ in range(2):
+                w_, msw = run_fwtw_bw()
+                wws.append(w_)
+            wbw = _median(wws)
+            okw = msw.paths()[0] == p0_ref
+            log(f"fused multi-stream WTW capacity (B={Bw}, k32, chroma): "
+                f"{wbw*1e3:.0f} ms -> {audio_sec/wbw:.1f}x RT/stream end-to-end "
+                f"(aggregate {Bw*audio_sec/wbw:.0f}x, paths match {okw})")
+            _result[f"wtw_b{Bw}_per_stream"] = round(audio_sec / wbw, 1)
+
         # the capacity floor itself: host chroma extraction throughput at the
         # B=256 dispatch granularity (pure host — window in place, pocketfft
         # rfft, complex-view power folded into the filterbank matmul)
@@ -868,9 +896,9 @@ def main() -> int:
 
     # --- 7c. fused multi-stream OTW serving: B concurrent followers, one
     # Pallas launch per hop block, O(c²) banded state per stream
-    # (parallel/serving.FusedMultiStreamFollower; capacity at N=1900
-    # measured separately: B=256 24.5x / B=512 11.6x / B=1024 4.9x RT per
-    # stream, paths bit-equal to solo — docs/STATUS.md)
+    # (parallel/serving.FusedMultiStreamFollower; production batch sizes
+    # B=256/512/1024 are swept in section 7d below and recorded in this
+    # JSON — docs/SERVING.md carries the table)
     try:
         from real_time_audio_sync_tpu.parallel import FusedMultiStreamFollower
 
@@ -892,6 +920,81 @@ def main() -> int:
         assert [tuple(p) for p in fms.paths()[0]] == [tuple(p) for p in block_eng.path]
     except Exception as e:
         log(f"fused serving diagnostic skipped ({e})")
+
+    # --- 7d. serving-capacity sweep at production batch sizes: per-stream
+    # real-time factor of the windowed-state default kernel at
+    # B=256/512/1024, N=1900, and at B=256 over an hour-scale (N=39,140)
+    # reference.  Round-4 protocol: MEDIAN of 3 runs with FRESH content per
+    # repetition (the relay dedupes repeated (program, input) pairs, so
+    # identical reruns read fast-but-fake), relay columns recorded in this
+    # JSON, stream-0 path checked against the solo engine on the real
+    # content.  docs/SERVING.md carries the resulting capacity table; the
+    # reference follows exactly one stream per process (livenote_live.py).
+    try:
+        import gc as _gc
+
+        from real_time_audio_sync_tpu.models import FusedStreamingEngine as _FSE
+        from real_time_audio_sync_tpu.parallel import FusedMultiStreamFollower
+
+        hopsC = 400
+        audioC = hopsC * HOP_SEC
+
+        def _unit_cols(seed, t):
+            c = np.random.default_rng(seed).random((12, t)).astype(np.float32) + 1e-3
+            return c / np.linalg.norm(c, axis=0, keepdims=True)
+
+        def _solo_path(refX):
+            solo = _FSE(refX, PARAMS, k_block=8)
+            for s in range(0, hopsC, 8):
+                if solo.insert_block_nowait(liveC[:, s : s + 8]) == "stop":
+                    break
+            solo.flush()
+            return [tuple(x) for x in solo.path]
+
+        def capacity_row(refX, Bc, tag):
+            walls, okc = [], None
+            p_solo = _solo_path(refX)
+            for rep in range(3):
+                # rep 0: the real Chopin columns (checked against solo);
+                # reps 1-2: fresh unit-norm chroma to defeat relay dedupe
+                feedC = liveC if rep == 0 else _unit_cols(100 * Bc + rep, hopsC)
+                if rep == 0:  # compile outside the timed window
+                    warm = FusedMultiStreamFollower(refX, PARAMS, n_streams=Bc, k_block=8)
+                    warm.feed(np.repeat(feedC[:, :1].T, Bc, axis=0))
+                    warm.flush()
+                    del warm
+                    _gc.collect()  # reclaim the donated-state cycle NOW
+                fmsC = FusedMultiStreamFollower(refX, PARAMS, n_streams=Bc, k_block=8)
+                cols = np.empty((Bc, 12), np.float32)
+                t0 = time.perf_counter()
+                for i in range(hopsC):
+                    cols[:] = feedC[:, i]
+                    fmsC.feed(cols)
+                fmsC.flush()
+                walls.append(time.perf_counter() - t0)
+                if rep == 0:
+                    okc = [tuple(x) for x in fmsC.paths()[0]] == p_solo
+                del fmsC
+                _gc.collect()
+            wB = _median(walls)
+            rtB = audioC / wB
+            log(f"serving capacity ({tag}, B={Bc}, N={refX.shape[1]}): median "
+                f"{wB:.2f} s over 3 fresh-content runs -> {rtB:.1f}x RT/stream "
+                f"({wB / hopsC / Bc * 1e6:.1f} us/frame/stream, aggregate "
+                f"{rtB * Bc:.0f}x, paths==solo {okc})")
+            return rtB
+
+        refC = np.ascontiguousarray(np.tile(ref, (1, 5)).astype(np.float32))
+        liveC = np.ascontiguousarray(np.tile(live, (1, 5)).astype(np.float32)[:, :hopsC])
+        for Bc in (256, 512, 1024):
+            _result[f"otw_b{Bc}_per_stream"] = round(
+                capacity_row(refC, Bc, "windowed default"), 1)
+
+        refL = np.ascontiguousarray(np.tile(ref, (1, 103)).astype(np.float32))
+        _result["otw_longref_b256_per_stream"] = round(
+            capacity_row(refL, 256, "hour-scale ref"), 1)
+    except Exception as e:
+        log(f"serving-capacity sweep skipped ({e})")
 
     # --- 8a. fused single-kernel OTW (ops/pallas_otw.py): the whole batch
     # alignment in one Pallas launch with O(c²) banded VMEM state
@@ -1046,6 +1149,55 @@ def main() -> int:
     except Exception as e:
         log(f"pallas wavefront diagnostic skipped ({e})")
 
+    # --- 8c. standardized dispatch-latency rehearsal: ~2,000 REAL-TIME-
+    # PACED hops (one 92.9 ms hop = one chroma column through the adaptive
+    # per-frame feed), per-hop wall recorded at the feed() dispatch
+    # boundary — the number the <1 ms p50 target (BASELINE.md row 2) is
+    # about, previously carried only in docs/STATUS.md prose.  Keys
+    # dispatch_p50_ms / dispatch_p99_ms pin it in this JSON so regressions
+    # are visible to the artifact.  Reference latency instrumentation:
+    # livenote_live.py:203-206.
+    try:
+        from real_time_audio_sync_tpu.models import FusedStreamingEngine as _FSE8
+
+        ref8 = np.tile(ref, (1, 5)).astype(np.float32)  # N=1900
+        live8 = np.tile(live, (1, 5)).astype(np.float32)  # 2005 hops
+        eng8 = _FSE8(ref8, PARAMS, k_block=HOP_FRAMES)
+        eng8.feed(live8[:, 0])
+        eng8.poll()  # compile + settle
+        lat8 = []
+        t_next = time.perf_counter()
+        for i in range(1, live8.shape[1]):
+            t_next += HOP_SEC
+            dt = t_next - time.perf_counter()
+            if dt > 0:
+                time.sleep(dt)  # idle device between hops, as in a live set
+            t0 = time.perf_counter()
+            status = eng8.feed(live8[:, i])
+            lat8.append(time.perf_counter() - t0)
+            if status != "stop":
+                status = eng8.poll()  # non-blocking, outside the timed window
+            if status == "stop":
+                break
+        eng8.flush()
+        l8 = np.asarray(lat8) * 1e3
+        p50_8 = float(np.percentile(l8, 50))
+        p99_8 = float(np.percentile(l8, 99))
+        log(f"paced dispatch rehearsal ({len(l8)} real-time hops, "
+            f"{len(l8)*HOP_SEC/60:.1f} min): p50 {p50_8:.2f} ms, "
+            f"p99 {p99_8:.2f} ms, max {l8.max():.1f} ms at the feed() "
+            f"boundary (target p50 < 1 ms; relay xfer floor {_relay_xfer_ms} ms)")
+        _result["dispatch_p50_ms"] = round(p50_8, 2)
+        _result["dispatch_p99_ms"] = round(p99_8, 2)
+        _result["dispatch_hops"] = int(len(l8))
+        # budget decomposition for the target: the session floor (fastest
+        # hop — pure issue cost with a quiet relay) next to the relay
+        # columns above; excess of p50 over the floor is relay queueing,
+        # not host/kernel work (on_device_us isolates the kernel side)
+        _result["dispatch_min_ms"] = round(float(l8.min()), 2)
+    except Exception as e:
+        log(f"paced rehearsal skipped ({e})")
+
     # --- 9. wide-band robustness config: per-step cost is O(c) in Python
     # but flat on the vector unit
     try:
@@ -1078,11 +1230,12 @@ _result = None
 _json_printed = False
 _relay_rtt_ms = None
 _relay_xfer_ms = None
-_WATCHDOG_S = 1500  # hard cap on diagnostics; the result is emitted regardless
-# (sized for round 4's added sections — fused WTW, B=64 ceiling, hour-scale
-# medians, banded offline DTW — running on a 2x-degraded relay: a healthy
-# cache-warm run finishes all diagnostics in ~8-10 min, a post-outage relay
-# was measured at ~2x that.  All programs are compile-cached by in-round
+_WATCHDOG_S = 2200  # hard cap on diagnostics; the result is emitted regardless
+# (sized for round 5's added sections — the B=256/512/1024 capacity sweep,
+# the hour-ref B=256 row, WTW B=128/256 capacity, and the ~3.1-minute
+# real-time-paced dispatch rehearsal (pacing-bound, relay-independent) —
+# running on a 2x-degraded relay: a healthy cache-warm run finishes all
+# diagnostics in ~13-16 min.  All programs are compile-cached by in-round
 # runs.)
 
 import threading as _threading
