@@ -140,8 +140,12 @@ def resolve_transfer_mode(transfer_dtype: str, n_streams: int, k_block: int,
         return forced
     if "link" not in _PROBE_CACHE:
         _PROBE_CACHE["link"] = probe_link_bandwidth()
-    if "host_us" not in _PROBE_CACHE:
-        _PROBE_CACHE["host_us"] = probe_host_fft_us(fft_len=fft_len)
+    # host-FFT cost scales with the transform size — cache per fft_len so a
+    # non-default WTWParams.fft_len is not priced with the 4096-point probe
+    host_key = ("host_us", int(fft_len))
+    if host_key not in _PROBE_CACHE and "host_us" not in _PROBE_CACHE:
+        _PROBE_CACHE[host_key] = probe_host_fft_us(fft_len=fft_len)
+    host_us = _PROBE_CACHE.get(host_key, _PROBE_CACHE.get("host_us"))
     if workers is None:
         from real_time_audio_sync_tpu.features.chroma import (
             resolve_host_workers,
@@ -150,5 +154,5 @@ def resolve_transfer_mode(transfer_dtype: str, n_streams: int, k_block: int,
         workers = resolve_host_workers()
     return choose_transfer_mode(
         n_streams, k_block, fft_len, hop_size,
-        link=_PROBE_CACHE["link"], host_fft_us=_PROBE_CACHE["host_us"],
+        link=_PROBE_CACHE["link"], host_fft_us=host_us,
         workers=workers)

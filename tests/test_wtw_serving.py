@@ -479,3 +479,25 @@ def test_serving_layers_default_auto(monkeypatch):
     })
     eng2 = MultiStreamWTW([ref] * 2, WTW_PARAMS, k_block=8)
     assert eng2.transfer_dtype == "float32"
+
+
+def test_resolve_transfer_mode_host_probe_keyed_by_fft_len(monkeypatch):
+    """The host-FFT probe is cached PER fft_len: a non-default transform
+    size must be priced with its own probe, not the 4096-point one."""
+    from real_time_audio_sync_tpu.parallel import transfer as T
+
+    monkeypatch.delenv("RTAS_TRANSFER_MODE", raising=False)
+    probed = []
+
+    def fake_probe(n_frames=256, fft_len=4096, fs=22050):
+        probed.append(fft_len)
+        return 22.0
+
+    monkeypatch.setattr(T, "probe_host_fft_us", fake_probe)
+    monkeypatch.setattr(T, "_PROBE_CACHE", {
+        "link": T.LinkProbe(bytes_per_s=5e6, rtt_s=27e-3),
+    })
+    T.resolve_transfer_mode("auto", 256, 8, 4096, 2048)
+    T.resolve_transfer_mode("auto", 256, 8, 4096, 2048)  # cached
+    T.resolve_transfer_mode("auto", 256, 8, 8192, 4096)  # new size → re-probe
+    assert probed == [4096, 8192]
