@@ -109,8 +109,9 @@ _WORKERS_ENV = "RTAS_HOST_FFT_WORKERS"
 _POOL = None
 _POOL_SIZE = 0
 
+import threading as _threading
 
-_POOL_LOCK = None  # created lazily (threading import kept off the hot path)
+_POOL_LOCK = _threading.Lock()
 
 
 def _host_pool(workers: int):
@@ -122,11 +123,7 @@ def _host_pool(workers: int):
     Dropping the reference is safe — executor threads exit on their own
     once the executor is garbage-collected and its queue drains.  Shrink
     requests keep the larger pool (idle threads are harmless)."""
-    global _POOL, _POOL_SIZE, _POOL_LOCK
-    if _POOL_LOCK is None:
-        import threading
-
-        _POOL_LOCK = threading.Lock()
+    global _POOL, _POOL_SIZE
     with _POOL_LOCK:
         if _POOL is None or workers > _POOL_SIZE:
             import concurrent.futures
