@@ -330,14 +330,21 @@ def test_pallas_kernels_on_real_tpu(tmp_path):
     # cheap reachability pre-probe: during relay outages backend init hangs
     # indefinitely, and without this the parity subprocess burns its whole
     # 840 s budget before the TimeoutExpired skip fires (observed during the
-    # 2026-08-17/18 outages).  A healthy backend answers in a few seconds.
+    # 2026-08-17/18 outages).  The probe also RUNS a trivial program, not
+    # just device listing — a second outage shape (recurred 2026-08-21)
+    # leaves `jax.devices()` answering while every execution hangs.  A
+    # healthy backend completes both in a few seconds (≲45 s on a cold
+    # compile cache).
     try:
         subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            capture_output=True, timeout=120, env=env,
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; jax.devices(); "
+             "print(float(jnp.sum(jnp.ones((8, 128)))))"],
+            capture_output=True, timeout=180, env=env,
         )
     except subprocess.TimeoutExpired:
-        outage("TPU backend unreachable within 120 s (relay outage)", "")
+        outage("TPU backend unreachable within 180 s (relay outage: device "
+               "listing or a trivial execution hung)", "")
 
     # one bounded retry: transient platform failures (libtpu skew clearing,
     # relay flaps) often resolve within a minute; a genuine parity failure
